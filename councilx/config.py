@@ -1,0 +1,259 @@
+"""Typed configuration that ingests reference Council-GAN YAMLs verbatim.
+
+The reference (utils.py::get_config) does ``yaml.load(open(path))`` and passes
+the raw dict around with string-key access and no validation. Here the same
+YAML files load into typed dataclasses with explicit defaults and validation,
+while remaining key-compatible: every key family documented in SURVEY.md §5.6
+(logger / optim / loss-weight / council / focus / gen / dis / data) is
+accepted, whether spelled flat (``council_size: 4``) or nested
+(``council: {council_size: 4}``). Unknown keys are preserved in
+``Config.extras`` rather than dropped, so a config round-trips.
+
+Reference parity: utils.py::get_config, configs/*.yaml (key schema).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import yaml
+
+
+def _first(d: Dict[str, Any], *names, default=None):
+    """Return the first present key among ``names`` (flat lookup)."""
+    for n in names:
+        if n in d and d[n] is not None:
+            return d[n]
+    return default
+
+
+@dataclass
+class GenConfig:
+    """Generator hyperparameters (reference: networks.py::AdaINGen ctor)."""
+
+    dim: int = 64               # base channel width
+    mlp_dim: int = 256          # hidden width of the AdaIN-parameter MLP
+    style_dim: int = 8          # style code length
+    n_downsample: int = 2       # content-encoder stride-2 stages
+    n_res: int = 4              # residual blocks in encoder tail / decoder head
+    activ: str = "relu"
+    pad_type: str = "reflect"
+    mlp_n_blk: int = 3          # MLP depth (reference MUNIT default)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "GenConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+@dataclass
+class DisConfig:
+    """Discriminator hyperparameters (reference: networks.py::MsImageDis ctor)."""
+
+    dim: int = 64
+    norm: str = "none"
+    activ: str = "lrelu"
+    n_layer: int = 4
+    gan_type: str = "lsgan"
+    num_scales: int = 3
+    pad_type: str = "reflect"
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "DisConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+@dataclass
+class CouncilConfig:
+    """Council-specific knobs (reference: trainer_council.py council block).
+
+    The reference mount was empty during the survey, so exact key spellings
+    are best-effort; every known alias is accepted in :meth:`from_dict`.
+    """
+
+    council_size: int = 4
+    council_w: float = 0.2
+    # iteration after which the mutual-agreement loss switches on
+    council_start_at_iter: int = 0
+    # how many council-dis updates run per generator update
+    council_dis_relative_iteration: int = 1
+    # alpha-mask ("focus") mechanism
+    focus_enabled: bool = True
+    mask_total_w: float = 0.005        # mean(mask) size penalty
+    mask_zero_or_one_w: float = 0.005  # binarization penalty mean(mask*(1-mask))
+    mask_tv_w: float = 0.0             # total-variation smoothness on the mask
+    focus_start_at_iter: int = 0
+    # condition the council discriminator on the input image (channel concat)
+    council_conditional_input: bool = True
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "CouncilConfig":
+        c = dict(d.get("council", {}) or {})
+        f = dict(d.get("focus_loss", {}) or {})
+        merged = {**d, **c, **f}
+        return cls(
+            council_size=int(_first(merged, "council_size", default=4)),
+            council_w=float(_first(merged, "council_w", default=0.2)),
+            council_start_at_iter=int(
+                _first(merged, "council_start_at_iter", "council_start_iteration",
+                       default=0)),
+            council_dis_relative_iteration=int(
+                _first(merged, "council_dis_relative_iteration",
+                       "numberOfCouncil_dis_relative_iteration", default=1)),
+            focus_enabled=bool(_first(merged, "focus_enabled", "do_focus",
+                                      "focus", default=True)),
+            mask_total_w=float(_first(merged, "mask_total_w", "mask_size_w",
+                                      default=0.005)),
+            mask_zero_or_one_w=float(
+                _first(merged, "mask_zero_or_one_w", "mask_binary_w",
+                       default=0.005)),
+            mask_tv_w=float(_first(merged, "mask_tv_w", default=0.0)),
+            focus_start_at_iter=int(
+                _first(merged, "focus_start_at_iter", "focus_loss_start_at_iter",
+                       default=0)),
+            council_conditional_input=bool(
+                _first(merged, "council_conditional_input",
+                       "council_abs_gen_input", default=True)),
+        )
+
+
+@dataclass
+class DataConfig:
+    """Data pipeline config (reference: utils.py::get_all_data_loaders keys)."""
+
+    data_root: str = "./datasets"
+    input_dim_a: int = 3
+    input_dim_b: int = 3
+    num_workers: int = 4
+    new_size: int = 132            # resize shorter side before crop
+    crop_image_height: int = 128
+    crop_image_width: int = 128
+    # TPU-native addition: run resize/crop/flip/normalize on-device inside jit
+    on_device_aug: bool = True
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "DataConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        sub = dict(d.get("data", {}) or {})
+        merged = {**d, **sub}
+        return cls(**{k: v for k, v in merged.items() if k in known})
+
+
+@dataclass
+class Config:
+    """Full training/inference configuration.
+
+    Field names follow the reference YAML keys (SURVEY.md §5.6) so reference
+    configs load unchanged via :func:`load_config`.
+    """
+
+    # --- logger block -----------------------------------------------------
+    image_save_iter: int = 10_000
+    image_display_iter: int = 500
+    display_size: int = 8
+    snapshot_save_iter: int = 10_000
+    log_iter: int = 10
+
+    # --- optimization -----------------------------------------------------
+    max_iter: int = 1_000_000
+    batch_size: int = 4
+    lr: float = 1e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    weight_decay: float = 1e-4
+    init: str = "kaiming"
+    lr_policy: str = "step"
+    step_size: int = 100_000
+    gamma: float = 0.5
+
+    # --- loss weights (MUNIT-inherited) -----------------------------------
+    gan_w: float = 1.0
+    recon_x_w: float = 10.0
+    recon_s_w: float = 1.0
+    recon_c_w: float = 1.0
+    recon_x_cyc_w: float = 0.0   # cycle consistency removed — the paper's point
+    vgg_w: float = 0.0
+
+    # --- direction flags ---------------------------------------------------
+    do_a2b: bool = True
+    do_b2a: bool = False
+
+    # --- sub-blocks ---------------------------------------------------------
+    gen: GenConfig = field(default_factory=GenConfig)
+    dis: DisConfig = field(default_factory=DisConfig)
+    council: CouncilConfig = field(default_factory=CouncilConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+    # --- TPU-native additions ----------------------------------------------
+    # compute dtype for the forward/backward pass ("bfloat16" or "float32");
+    # parameters and optimizer state always stay float32.
+    compute_dtype: str = "bfloat16"
+    # parity mode: fp32 everywhere + highest conv/matmul precision, for
+    # pixel-exact comparison against the reference inference path.
+    parity_mode: bool = False
+    # pallas kernel toggles (XLA fallback when False)
+    use_pallas: bool = False
+    # data-parallel mesh axis size (1 = single chip); see parallel/mesh.py
+    num_devices: int = 1
+
+    # unknown YAML keys, preserved verbatim
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "Config":
+        raw = dict(raw or {})
+        known = {f.name for f in dataclasses.fields(cls)
+                 if f.name not in ("gen", "dis", "council", "data", "extras")}
+        kwargs: Dict[str, Any] = {k: v for k, v in raw.items() if k in known}
+        kwargs["gen"] = GenConfig.from_dict(dict(raw.get("gen", {}) or {}))
+        kwargs["dis"] = DisConfig.from_dict(dict(raw.get("dis", {}) or {}))
+        kwargs["council"] = CouncilConfig.from_dict(raw)
+        kwargs["data"] = DataConfig.from_dict(raw)
+        consumed = known | {"gen", "dis", "council", "focus_loss", "data"}
+        kwargs["extras"] = {k: v for k, v in raw.items() if k not in consumed}
+        cfg = cls(**kwargs)
+        cfg.validate()
+        return cfg
+
+    def validate(self) -> None:
+        if self.council.council_size < 1:
+            raise ValueError("council_size must be >= 1")
+        if self.gen.n_downsample < 2:
+            raise ValueError("n_downsample must be >= 2 (style encoder doubles "
+                             "channels on its first two downsamples)")
+        if self.dis.gan_type not in ("lsgan", "nsgan"):
+            raise ValueError(f"unsupported gan_type: {self.dis.gan_type}")
+        if not (self.do_a2b or self.do_b2a):
+            raise ValueError("at least one of do_a2b / do_b2a must be true")
+        if self.compute_dtype not in ("bfloat16", "float32"):
+            raise ValueError(f"unsupported compute_dtype: {self.compute_dtype}")
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        extras = d.pop("extras")
+        d.update(extras)
+        return d
+
+    # convenience aliases used across the codebase
+    @property
+    def council_size(self) -> int:
+        return self.council.council_size
+
+    @property
+    def image_size(self) -> int:
+        return self.data.crop_image_height
+
+
+def load_config(path: str) -> Config:
+    """Load a (reference-format or councilx) YAML config file.
+
+    Reference parity: utils.py::get_config — but typed + validated instead of
+    a raw dict.
+    """
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return Config.from_dict(raw)

@@ -1,0 +1,451 @@
+"""Building blocks mirroring the reference networks.py (MUNIT-derived).
+
+Reference parity targets (symbol-level, per SURVEY.md §2.1 row 7):
+  * networks.py::Conv2dBlock  — pad(reflect/replicate/zero) -> conv -> norm
+    (bn/in/ln/adain/sn/none) -> activation (relu/lrelu/prelu/selu/tanh/none)
+  * networks.py::LinearBlock
+  * networks.py::ResBlock / ResBlocks
+  * networks.py::MLP
+  * networks.py::AdaptiveInstanceNorm2d — here the functional :func:`adain`
+    (instance-norm then externally-supplied scale/shift), replacing the
+    reference's mutable ``assign_adain_params`` module-state hack
+  * networks.py::LayerNorm — MUNIT's custom per-sample CHW layer norm with the
+    idiosyncratic ``(x - mean) / (std_unbiased + eps)`` formula (NOT
+    ``sqrt(var + eps)``) and per-channel affine
+  * networks.py::SpectralNorm — power iteration as explicit flax variable
+    state instead of in-place parameter mutation
+
+Everything is NHWC (TPU-native); the torch reference is NCHW. fp32 numerics
+match PyTorch exactly (see tests/test_blocks_parity.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# ---------------------------------------------------------------------------
+# initializers — reference utils.py::weights_init
+# ---------------------------------------------------------------------------
+
+
+def make_kernel_init(name: str) -> Callable:
+    """Kernel initializer matching reference utils.py::weights_init.
+
+    'kaiming'   -> kaiming_normal_(fan_in, gain=sqrt(2))  == he_normal
+    'gaussian'  -> normal(0, 0.02)        (used for discriminators)
+    'xavier'    -> xavier_normal_(gain=sqrt(2))
+    'orthogonal'-> orthogonal(gain=sqrt(2))
+    'default'   -> flax default (lecun_normal)
+    """
+    if name == "kaiming":
+        return nn.initializers.he_normal()
+    if name == "gaussian":
+        return nn.initializers.normal(stddev=0.02)
+    if name == "xavier":
+        # torch xavier_normal_ with gain=sqrt(2): std = gain*sqrt(2/(fan_in+fan_out))
+        return nn.initializers.variance_scaling(2.0, "fan_avg", "normal")
+    if name == "orthogonal":
+        return nn.initializers.orthogonal(scale=jnp.sqrt(2.0))
+    if name == "default":
+        return nn.initializers.lecun_normal()
+    raise ValueError(f"unknown init: {name}")
+
+
+# ---------------------------------------------------------------------------
+# activations
+# ---------------------------------------------------------------------------
+
+
+def make_activation(name: str) -> Optional[Callable[[jnp.ndarray], jnp.ndarray]]:
+    """Activation factory matching reference Conv2dBlock's activation choices."""
+    if name == "relu":
+        return jax.nn.relu
+    if name == "lrelu":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.2)
+    if name == "prelu":
+        # reference uses nn.PReLU() (learned alpha, init 0.25); the learned
+        # parameter variant lives in Conv2dBlock; standalone fallback uses 0.25
+        return lambda x: jnp.where(x >= 0, x, 0.25 * x)
+    if name == "selu":
+        return jax.nn.selu
+    if name == "tanh":
+        return jnp.tanh
+    if name == "none":
+        return None
+    raise ValueError(f"unknown activation: {name}")
+
+
+# ---------------------------------------------------------------------------
+# padding — reference uses nn.ReflectionPad2d / ReplicationPad2d / ZeroPad2d
+# ---------------------------------------------------------------------------
+
+
+def pad2d(x: jnp.ndarray, padding: int, pad_type: str) -> jnp.ndarray:
+    """Spatial padding on NHWC input, matching torch pad modules at fp32."""
+    if padding == 0:
+        return x
+    widths = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    if pad_type == "reflect":
+        return jnp.pad(x, widths, mode="reflect")
+    if pad_type == "replicate":
+        return jnp.pad(x, widths, mode="edge")
+    if pad_type == "zero":
+        return jnp.pad(x, widths, mode="constant")
+    raise ValueError(f"unknown pad_type: {pad_type}")
+
+
+# ---------------------------------------------------------------------------
+# norms (functional)
+# ---------------------------------------------------------------------------
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm2d(affine=False), NHWC: per-(sample, channel) over H, W.
+
+    PyTorch normalizes with the *biased* variance — so do we.
+    Reference parity: nn.InstanceNorm2d as used in networks.py::Conv2dBlock.
+    """
+    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+    var = jnp.var(x, axis=(-3, -2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def adain(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
+          eps: float = 1e-5) -> jnp.ndarray:
+    """Adaptive instance norm: instance-normalize then scale/shift.
+
+    ``gamma``/``beta`` are (B, C) slices of the style-MLP output. The
+    reference (networks.py::AdaptiveInstanceNorm2d driven by
+    AdaINGen.assign_adain_params) uses the raw MLP outputs: weight = std-half,
+    bias = mean-half, no exp/softplus — identical here.
+    """
+    out = instance_norm(x, eps)
+    return out * gamma[:, None, None, :] + beta[:, None, None, :]
+
+
+class MunitLayerNorm(nn.Module):
+    """MUNIT's custom LayerNorm (networks.py::LayerNorm).
+
+    Per-sample statistics over ALL of (H, W, C); normalization is
+    ``(x - mean) / (std + eps)`` where ``std`` is the *unbiased* standard
+    deviation (torch ``Tensor.std()`` default) — note: NOT ``sqrt(var+eps)``.
+    Affine is per-channel; the reference initializes gamma ~ U[0,1) and
+    beta = 0.
+    """
+
+    num_features: int
+    eps: float = 1e-5
+    affine: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        axes = tuple(range(1, x.ndim))
+        n = 1
+        for a in axes:
+            n *= x.shape[a]
+        mean = jnp.mean(x32, axis=axes, keepdims=True)
+        var_b = jnp.var(x32, axis=axes, keepdims=True)
+        std = jnp.sqrt(var_b * (n / (n - 1)))  # unbiased, like torch .std()
+        out = (x32 - mean) / (std + self.eps)
+        if self.affine:
+            gamma = self.param("gamma", nn.initializers.uniform(scale=1.0),
+                               (self.num_features,), jnp.float32)
+            beta = self.param("beta", nn.initializers.zeros,
+                              (self.num_features,), jnp.float32)
+            out = out * gamma + beta
+        return out.astype(orig_dtype)
+
+
+# ---------------------------------------------------------------------------
+# spectral norm — explicit power-iteration state
+# ---------------------------------------------------------------------------
+
+
+class SpectralConv(nn.Module):
+    """Conv2d wrapped in spectral normalization (networks.py::SpectralNorm).
+
+    The reference runs one power iteration per forward, mutating persistent
+    ``u``/``v`` buffers. Here ``u`` lives in the 'spectral_stats' variable
+    collection and is updated when the collection is mutable (training);
+    at inference the stored ``u`` is used read-only.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.he_normal()
+    dtype: Dtype = jnp.float32
+    n_power_iterations: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, in_ch, self.features), jnp.float32)
+        # torch's SpectralNorm views weight as (out, -1); our kernel is
+        # (kh, kw, in, out) -> transpose to (out, kh*kw*in)
+        w_mat = kernel.transpose(3, 0, 1, 2).reshape(self.features, -1)
+        u_var = self.variable(
+            "spectral_stats", "u",
+            lambda: jax.random.normal(
+                self.make_rng("params") if self.has_rng("params")
+                else jax.random.PRNGKey(0), (self.features,)))
+        u = u_var.value
+        for _ in range(self.n_power_iterations):
+            v = w_mat.T @ u
+            v = v / (jnp.linalg.norm(v) + 1e-12)
+            u = w_mat @ v
+            u = u / (jnp.linalg.norm(u) + 1e-12)
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
+        sigma = u @ (w_mat @ v)
+        if not self.is_initializing() and not self.is_mutable_collection(
+                "spectral_stats"):
+            pass  # inference: read-only u
+        elif not self.is_initializing():
+            u_var.value = u
+        w_sn = (kernel / sigma).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w_sn, window_strides=self.strides,
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# Conv2dBlock — the workhorse
+# ---------------------------------------------------------------------------
+
+
+class Conv2dBlock(nn.Module):
+    """pad -> conv -> norm -> activation (reference networks.py::Conv2dBlock).
+
+    ``norm='adain'`` blocks take the (gamma, beta) pair as a call argument
+    (functional AdaIN) instead of the reference's module-state assignment.
+    """
+
+    out_dim: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    norm: str = "none"            # bn | in | ln | adain | sn | none
+    activation: str = "relu"      # relu | lrelu | prelu | selu | tanh | none
+    pad_type: str = "zero"        # reflect | replicate | zero
+    kernel_init: Callable = nn.initializers.he_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 adain_params: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+                 ) -> jnp.ndarray:
+        x = pad2d(x, self.padding, self.pad_type)
+        # reference: use_bias = True except under 'bn' (MUNIT passes bias
+        # always; nn.Conv2d default bias=True)
+        if self.norm == "sn":
+            y = SpectralConv(
+                features=self.out_dim,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                kernel_init=self.kernel_init, dtype=self.dtype)(x)
+        else:
+            y = nn.Conv(
+                features=self.out_dim,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding="VALID", use_bias=True,
+                kernel_init=self.kernel_init,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype, param_dtype=jnp.float32)(x)
+
+        if self.norm == "in":
+            y = instance_norm(y.astype(jnp.float32)).astype(self.dtype)
+        elif self.norm == "ln":
+            y = MunitLayerNorm(num_features=self.out_dim, dtype=self.dtype)(y)
+        elif self.norm == "bn":
+            # batch norm (unused by the shipped configs; MUNIT option kept)
+            y = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(y)
+        elif self.norm == "adain":
+            if adain_params is None:
+                raise ValueError("adain norm requires adain_params")
+            gamma, beta = adain_params
+            y = adain(y.astype(jnp.float32),
+                      gamma.astype(jnp.float32),
+                      beta.astype(jnp.float32)).astype(self.dtype)
+        elif self.norm in ("none", "sn"):
+            pass
+        else:
+            raise ValueError(f"unknown norm: {self.norm}")
+
+        if self.activation == "prelu":
+            alpha = self.param("prelu_alpha", nn.initializers.constant(0.25),
+                               (1,), jnp.float32)
+            y = jnp.where(y >= 0, y, alpha.astype(y.dtype) * y)
+        else:
+            act = make_activation(self.activation)
+            if act is not None:
+                y = act(y)
+        return y
+
+
+class LinearBlock(nn.Module):
+    """fc -> norm -> activation (reference networks.py::LinearBlock)."""
+
+    out_dim: int
+    norm: str = "none"
+    activation: str = "relu"
+    kernel_init: Callable = nn.initializers.he_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.Dense(self.out_dim, use_bias=True,
+                     kernel_init=self.kernel_init,
+                     bias_init=nn.initializers.zeros,
+                     dtype=self.dtype, param_dtype=jnp.float32)(x)
+        if self.norm == "in":
+            # 1d instance norm over feature axis per sample (MUNIT option)
+            mean = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.var(y, axis=-1, keepdims=True)
+            y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        elif self.norm == "ln":
+            y = MunitLayerNorm(num_features=self.out_dim, dtype=self.dtype)(y)
+        elif self.norm != "none":
+            raise ValueError(f"unknown norm for LinearBlock: {self.norm}")
+        act = make_activation(self.activation)
+        if act is not None:
+            y = act(y)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# residual stacks
+# ---------------------------------------------------------------------------
+
+
+class ResBlock(nn.Module):
+    """Two 3x3 Conv2dBlocks with additive skip (networks.py::ResBlock).
+
+    With ``norm='adain'`` the call takes a list of two (gamma, beta) pairs —
+    one per conv — consumed in definition order, matching the reference's
+    ``assign_adain_params`` traversal order.
+    """
+
+    dim: int
+    norm: str = "in"
+    activation: str = "relu"
+    pad_type: str = "zero"
+    kernel_init: Callable = nn.initializers.he_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 adain_params: Optional[Sequence] = None) -> jnp.ndarray:
+        p0 = adain_params[0] if adain_params is not None else None
+        p1 = adain_params[1] if adain_params is not None else None
+        y = Conv2dBlock(self.dim, 3, 1, 1, norm=self.norm,
+                        activation=self.activation, pad_type=self.pad_type,
+                        kernel_init=self.kernel_init, dtype=self.dtype)(x, p0)
+        y = Conv2dBlock(self.dim, 3, 1, 1, norm=self.norm,
+                        activation="none", pad_type=self.pad_type,
+                        kernel_init=self.kernel_init, dtype=self.dtype)(y, p1)
+        return x + y
+
+
+class ResBlocks(nn.Module):
+    """Stack of ResBlocks (networks.py::ResBlocks)."""
+
+    num_blocks: int
+    dim: int
+    norm: str = "in"
+    activation: str = "relu"
+    pad_type: str = "zero"
+    kernel_init: Callable = nn.initializers.he_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 adain_params: Optional[Sequence] = None) -> jnp.ndarray:
+        for i in range(self.num_blocks):
+            p = (adain_params[2 * i: 2 * i + 2]
+                 if adain_params is not None else None)
+            x = ResBlock(self.dim, norm=self.norm,
+                         activation=self.activation, pad_type=self.pad_type,
+                         kernel_init=self.kernel_init, dtype=self.dtype)(x, p)
+        return x
+
+
+class MLP(nn.Module):
+    """Style-code -> AdaIN-parameter MLP (reference networks.py::MLP).
+
+    n_blk layers total: in->dim (activ), (n_blk-2) x dim->dim (activ),
+    dim->out (no activation). norm='none' in all shipped configs.
+    """
+
+    out_dim: int
+    dim: int = 256
+    n_blk: int = 3
+    norm: str = "none"
+    activation: str = "relu"
+    kernel_init: Callable = nn.initializers.he_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.reshape(x.shape[0], -1)
+        x = LinearBlock(self.dim, norm=self.norm, activation=self.activation,
+                        kernel_init=self.kernel_init, dtype=self.dtype)(x)
+        for _ in range(self.n_blk - 2):
+            x = LinearBlock(self.dim, norm=self.norm,
+                            activation=self.activation,
+                            kernel_init=self.kernel_init, dtype=self.dtype)(x)
+        x = LinearBlock(self.out_dim, norm="none", activation="none",
+                        kernel_init=self.kernel_init, dtype=self.dtype)(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# pooling — torch-compatible avg pool used by MsImageDis's pyramid
+# ---------------------------------------------------------------------------
+
+
+def avg_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """AvgPool2d(3, stride=2, padding=1, count_include_pad=False) on NHWC.
+
+    Reference parity: networks.py::MsImageDis.downsample. The
+    count_include_pad=False semantics mean border windows divide by the number
+    of *valid* (non-pad) elements, which reduce_window + a ones-count gives.
+    """
+    dims = (1, 3, 3, 1)
+    strides = (1, 2, 2, 1)
+    pads = ((0, 0), (1, 1), (1, 1), (0, 0))
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, pads)
+    ones = jnp.ones(x.shape[:3] + (1,), dtype=x.dtype)
+    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides, pads)
+    return summed / counts
+
+
+def adaptive_avg_pool_1(x: jnp.ndarray) -> jnp.ndarray:
+    """AdaptiveAvgPool2d(1) on NHWC -> (B, 1, 1, C)."""
+    return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """nn.Upsample(scale_factor=2) (nearest) on NHWC."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)

@@ -1,0 +1,244 @@
+"""AdaIN generator (reference networks.py::AdaINGen and submodules).
+
+Architecture (MUNIT, retained by Council-GAN):
+
+  ContentEncoder: 7x7 conv (IN) -> n_downsample x stride-2 4x4 convs (IN,
+      channel doubling) -> n_res ResBlocks (IN)
+  StyleEncoder:   7x7 conv -> 2 x stride-2 doubling convs ->
+      (n_downsample-2) x stride-2 convs -> global avg pool -> 1x1 conv to
+      style_dim   (no norm anywhere — style must keep mean/var)
+  Decoder:        n_res AdaIN ResBlocks -> n_upsample x [nearest-2x upsample +
+      5x5 conv (MUNIT LayerNorm)] -> 7x7 conv -> tanh
+  MLP:            style code -> concatenated per-AdaIN-layer (beta, gamma)
+
+Council-GAN additions: when the focus mechanism is on, the decoder emits
+RGB + 1 mask channel; the final translation is
+``mask * rgb + (1 - mask) * input`` (compositing lives in
+councilx.losses.focus / the trainer, mirroring trainer_council.py).
+
+Functional AdaIN: the reference mutates AdaptiveInstanceNorm2d.weight/.bias
+via AdaINGen.assign_adain_params, consuming the MLP output sequentially over
+``model.modules()`` in definition order, bias-half first then weight-half per
+layer. Here the decoder slices the same flat vector in the same order and
+passes (gamma, beta) down as call arguments — same numerics, no mutation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from councilx.nn.blocks import (
+    MLP,
+    Conv2dBlock,
+    ResBlocks,
+    adaptive_avg_pool_1,
+    upsample_nearest_2x,
+)
+
+Dtype = Any
+
+
+class ContentEncoder(nn.Module):
+    """Reference: networks.py::ContentEncoder."""
+
+    dim: int = 64
+    n_downsample: int = 2
+    n_res: int = 4
+    activ: str = "relu"
+    pad_type: str = "reflect"
+    kernel_init: Callable = nn.initializers.he_normal()
+    dtype: Dtype = jnp.float32
+
+    @property
+    def output_dim(self) -> int:
+        return self.dim * (2 ** self.n_downsample)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = self.dim
+        x = Conv2dBlock(dim, 7, 1, 3, norm="in", activation=self.activ,
+                        pad_type=self.pad_type, kernel_init=self.kernel_init,
+                        dtype=self.dtype)(x)
+        for _ in range(self.n_downsample):
+            x = Conv2dBlock(2 * dim, 4, 2, 1, norm="in",
+                            activation=self.activ, pad_type=self.pad_type,
+                            kernel_init=self.kernel_init, dtype=self.dtype)(x)
+            dim *= 2
+        x = ResBlocks(self.n_res, dim, norm="in", activation=self.activ,
+                      pad_type=self.pad_type, kernel_init=self.kernel_init,
+                      dtype=self.dtype)(x)
+        return x
+
+
+class StyleEncoder(nn.Module):
+    """Reference: networks.py::StyleEncoder. Returns (B, style_dim)."""
+
+    dim: int = 64
+    style_dim: int = 8
+    n_downsample: int = 2
+    activ: str = "relu"
+    pad_type: str = "reflect"
+    kernel_init: Callable = nn.initializers.he_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = self.dim
+        x = Conv2dBlock(dim, 7, 1, 3, norm="none", activation=self.activ,
+                        pad_type=self.pad_type, kernel_init=self.kernel_init,
+                        dtype=self.dtype)(x)
+        for _ in range(2):
+            x = Conv2dBlock(2 * dim, 4, 2, 1, norm="none",
+                            activation=self.activ, pad_type=self.pad_type,
+                            kernel_init=self.kernel_init, dtype=self.dtype)(x)
+            dim *= 2
+        for _ in range(self.n_downsample - 2):
+            x = Conv2dBlock(dim, 4, 2, 1, norm="none", activation=self.activ,
+                            pad_type=self.pad_type,
+                            kernel_init=self.kernel_init, dtype=self.dtype)(x)
+        x = adaptive_avg_pool_1(x)
+        x = nn.Conv(self.style_dim, (1, 1), padding="VALID",
+                    kernel_init=self.kernel_init,
+                    bias_init=nn.initializers.zeros,
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return x.reshape(x.shape[0], self.style_dim)
+
+
+class Decoder(nn.Module):
+    """Reference: networks.py::Decoder (AdaIN resblocks + upsample convs).
+
+    ``adain_vec`` is the flat MLP output of length ``2 * dim * 2 * n_res``;
+    it is sliced sequentially — per AdaIN layer: beta first, then gamma —
+    matching AdaINGen.assign_adain_params.
+    """
+
+    dim: int               # channel width entering the decoder (= content dim)
+    output_dim: int = 3    # 3 (RGB) or 4 (RGB + focus mask)
+    n_upsample: int = 2
+    n_res: int = 4
+    activ: str = "relu"
+    pad_type: str = "reflect"
+    kernel_init: Callable = nn.initializers.he_normal()
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def num_adain_params(dim: int, n_res: int) -> int:
+        """Reference: AdaINGen.get_num_adain_params — 2 params x dim features
+        x (2 AdaIN convs per resblock) x n_res blocks."""
+        return 2 * dim * 2 * n_res
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, adain_vec: jnp.ndarray) -> jnp.ndarray:
+        dim = self.dim
+        # slice the flat adain vector: per layer, beta then gamma (the
+        # reference assigns bias = first half, weight = second half)
+        pairs: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+        cursor = 0
+        for _ in range(2 * self.n_res):
+            beta = adain_vec[:, cursor:cursor + dim]
+            gamma = adain_vec[:, cursor + dim:cursor + 2 * dim]
+            pairs.append((gamma, beta))
+            cursor += 2 * dim
+        x = ResBlocks(self.n_res, dim, norm="adain", activation=self.activ,
+                      pad_type=self.pad_type, kernel_init=self.kernel_init,
+                      dtype=self.dtype)(x, pairs)
+        for _ in range(self.n_upsample):
+            x = upsample_nearest_2x(x)
+            x = Conv2dBlock(dim // 2, 5, 1, 2, norm="ln",
+                            activation=self.activ, pad_type=self.pad_type,
+                            kernel_init=self.kernel_init, dtype=self.dtype)(x)
+            dim //= 2
+        x = Conv2dBlock(self.output_dim, 7, 1, 3, norm="none",
+                        activation="tanh", pad_type=self.pad_type,
+                        kernel_init=self.kernel_init, dtype=self.dtype)(x)
+        return x
+
+
+class AdaINGen(nn.Module):
+    """Reference: networks.py::AdaINGen — full encoder/decoder generator.
+
+    Methods mirror the reference API: ``encode`` (content + style),
+    ``decode`` (style -> MLP -> AdaIN decode), ``__call__`` (autoencode).
+    """
+
+    input_dim: int = 3
+    dim: int = 64
+    style_dim: int = 8
+    n_downsample: int = 2
+    n_res: int = 4
+    activ: str = "relu"
+    pad_type: str = "reflect"
+    mlp_dim: int = 256
+    mlp_n_blk: int = 3
+    focus_mask: bool = True     # emit an extra alpha-mask output channel
+    kernel_init: Callable = nn.initializers.he_normal()
+    dtype: Dtype = jnp.float32
+
+    @property
+    def content_dim(self) -> int:
+        return self.dim * (2 ** self.n_downsample)
+
+    @property
+    def output_dim(self) -> int:
+        return self.input_dim + (1 if self.focus_mask else 0)
+
+    def setup(self):
+        self.enc_content = ContentEncoder(
+            dim=self.dim, n_downsample=self.n_downsample, n_res=self.n_res,
+            activ=self.activ, pad_type=self.pad_type,
+            kernel_init=self.kernel_init, dtype=self.dtype)
+        self.enc_style = StyleEncoder(
+            dim=self.dim, style_dim=self.style_dim,
+            n_downsample=self.n_downsample, activ=self.activ,
+            pad_type=self.pad_type, kernel_init=self.kernel_init,
+            dtype=self.dtype)
+        self.dec = Decoder(
+            dim=self.content_dim, output_dim=self.output_dim,
+            n_upsample=self.n_downsample, n_res=self.n_res, activ=self.activ,
+            pad_type=self.pad_type, kernel_init=self.kernel_init,
+            dtype=self.dtype)
+        self.mlp = MLP(
+            out_dim=Decoder.num_adain_params(self.content_dim, self.n_res),
+            dim=self.mlp_dim, n_blk=self.mlp_n_blk, norm="none",
+            activation=self.activ, kernel_init=self.kernel_init,
+            dtype=self.dtype)
+
+    def encode(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """-> (content (B,h,w,C), style (B, style_dim))."""
+        return self.enc_content(x), self.enc_style(x)
+
+    def encode_content(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.enc_content(x)
+
+    def encode_style(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.enc_style(x)
+
+    def decode(self, content: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
+        """Style (B, style_dim) -> AdaIN params -> decoded image.
+
+        Returns (B, H, W, output_dim); channel 3 (if present) is the raw
+        tanh mask channel — compositing happens in the caller.
+        """
+        adain_vec = self.mlp(style)
+        return self.dec(content, adain_vec)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Autoencode with the image's own style (reference AdaINGen.forward)."""
+        content, style = self.encode(x)
+        return self.decode(content, style)
+
+
+def composite_with_mask(decoded: jnp.ndarray, x_in: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Focus-mask compositing (reference: trainer_council.py gen_update).
+
+    ``decoded`` is the 4-channel tanh decoder output. The mask channel is
+    mapped from tanh range [-1, 1] to [0, 1]; the translated image is
+    ``mask * rgb + (1 - mask) * input``. Returns (composited_rgb, mask).
+    """
+    rgb = decoded[..., :3]
+    mask = (decoded[..., 3:4] + 1.0) * 0.5
+    return mask * rgb + (1.0 - mask) * x_in, mask

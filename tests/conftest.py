@@ -1,0 +1,26 @@
+"""Test config: run on CPU with 8 virtual devices so mesh/sharding tests work
+without TPU hardware (SURVEY.md §4 item 4).
+
+Note: this image's sitecustomize force-registers the 'axon' TPU backend and
+overrides JAX_PLATFORMS, so the env-var route doesn't stick; updating
+jax.config after import (before first backend use) does.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
