@@ -1,0 +1,118 @@
+"""Council mutual-agreement losses — the paper's core mechanism, batched.
+
+Reference behavior (trainer_council.py::gen_update / dis_council_update,
+SURVEY.md §3.2–3.3): member i's translated output, channel-concatenated with
+the input image, is scored by every OTHER member's council discriminator
+D̂_j; the generator is rewarded when D̂_j accepts it ("looks like member j's
+own work"), while D̂_i itself is trained to tell member i's pairs (real
+class) from other members' pairs (fake class). The reference runs this as an
+O(N²) Python double loop of separate CUDA launches; here the whole pairwise
+grid evaluates as ONE batched computation: the member axis folds into the
+batch fed to a vmapped discriminator — exactly the "one batched pairwise
+kernel over all N council members" called for in BASELINE.json's north star.
+
+Polarity note: the real/fake assignment (own = real) is [VERIFY] against the
+live source (mount was empty); both polarities train the same agreement
+pressure, and the choice is isolated in these two functions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List
+
+import jax
+import jax.numpy as jnp
+
+
+def _pair_grid_logits(cdis_apply: Callable, cdis_params, pairs: jnp.ndarray
+                      ) -> List[jnp.ndarray]:
+    """Evaluate every council discriminator on every member's (fake ‖ input)
+    pair in one batched pass.
+
+    pairs: (N, B, H, W, 2C) — member-i outputs concatenated with the input.
+    Returns a per-scale list of logit grids shaped (N_dis, N_out, B, h, w, 1).
+    """
+    n, b = pairs.shape[0], pairs.shape[1]
+    flat = pairs.reshape((n * b,) + pairs.shape[2:])
+
+    def per_dis(params_j):
+        outs = cdis_apply(params_j, flat)
+        return [o.reshape((n, b) + o.shape[1:]) for o in outs]
+
+    return jax.vmap(per_dis)(cdis_params)
+
+
+def make_pairs(x_fakes: jnp.ndarray, x_in: jnp.ndarray,
+               conditional: bool = True) -> jnp.ndarray:
+    """(N, B, H, W, C) fakes + (B, H, W, C) input -> (N, B, H, W, 2C) pairs.
+
+    When ``conditional`` is False the council discriminator sees only the
+    outputs (unconditional variant, config-gated in the reference)."""
+    if not conditional:
+        return x_fakes
+    n = x_fakes.shape[0]
+    x_rep = jnp.broadcast_to(x_in[None], (n,) + x_in.shape)
+    return jnp.concatenate([x_fakes, x_rep], axis=-1)
+
+
+def council_gen_loss(cdis_apply: Callable, cdis_params,
+                     x_fakes: jnp.ndarray, x_in: jnp.ndarray,
+                     gan_type: str = "lsgan",
+                     conditional: bool = True) -> jnp.ndarray:
+    """Generator-side agreement loss.
+
+    Sum over ordered pairs (i, j≠i) of the per-pair generator GAN loss of
+    D̂_j on member i's output — matching the reference's double loop, with
+    means taken over batch and patch dims per pair.
+    """
+    n = x_fakes.shape[0]
+    if n < 2:
+        return jnp.float32(0.0)
+    pairs = make_pairs(x_fakes, x_in, conditional)
+    grids = _pair_grid_logits(cdis_apply, cdis_params, pairs)
+    off_diag = 1.0 - jnp.eye(n, dtype=jnp.float32)  # [j, i] mask
+    loss = 0.0
+    for g in grids:  # (N_dis=j, N_out=i, B, h, w, 1)
+        g = g.astype(jnp.float32)
+        if gan_type == "lsgan":
+            per_pair = jnp.mean((g - 1.0) ** 2, axis=(2, 3, 4, 5))
+        elif gan_type == "nsgan":
+            per_pair = jnp.mean(jax.nn.softplus(g) - g, axis=(2, 3, 4, 5))
+        else:
+            raise ValueError(f"unsupported gan_type: {gan_type}")
+        loss += jnp.sum(per_pair * off_diag)
+    return loss
+
+
+def council_dis_loss(cdis_apply: Callable, cdis_params,
+                     x_fakes: jnp.ndarray, x_in: jnp.ndarray,
+                     gan_type: str = "lsgan",
+                     conditional: bool = True) -> jnp.ndarray:
+    """Council-discriminator loss (reference dis_council_update).
+
+    D̂_i's real class = member i's own (output ‖ input) pairs (diagonal of
+    the grid); fake class = the other members' pairs (off-diagonal row),
+    averaged over the N−1 fakes so real and fake terms are balanced.
+    Caller must stop_gradient the fakes.
+    """
+    n = x_fakes.shape[0]
+    if n < 2:
+        return jnp.float32(0.0)
+    pairs = make_pairs(x_fakes, x_in, conditional)
+    grids = _pair_grid_logits(cdis_apply, cdis_params, pairs)
+    eye = jnp.eye(n, dtype=jnp.float32)
+    off_diag = 1.0 - eye
+    loss = 0.0
+    for g in grids:
+        g = g.astype(jnp.float32)
+        if gan_type == "lsgan":
+            real_term = jnp.mean((g - 1.0) ** 2, axis=(2, 3, 4, 5))
+            fake_term = jnp.mean(g ** 2, axis=(2, 3, 4, 5))
+        elif gan_type == "nsgan":
+            real_term = jnp.mean(jax.nn.softplus(g) - g, axis=(2, 3, 4, 5))
+            fake_term = jnp.mean(jax.nn.softplus(g), axis=(2, 3, 4, 5))
+        else:
+            raise ValueError(f"unsupported gan_type: {gan_type}")
+        loss += jnp.sum(real_term * eye)
+        loss += jnp.sum(fake_term * off_diag) / (n - 1)
+    return loss

@@ -1,0 +1,378 @@
+"""Council trainer: stacked-member parameters + one fused, jitted train step.
+
+Reference parity: trainer_council.py::Council_Trainer (gen_update /
+dis_update / dis_council_update / sample / forward). Differences — all
+TPU-first by design, none semantic:
+
+  * the council is a LEADING PARAMETER AXIS: one AdaINGen parameter pytree of
+    shape (N, ...) per direction, applied via jax.vmap — the reference's
+    Python lists (gen_a2b_s, dis_a2b_s, dis_council_a2b_s) run members
+    serially on the GPU;
+  * the three reference update methods fuse into ONE jit region per step
+    (council-dis -> dis -> gen, same order and same "gen sees the freshly
+    updated discriminators" semantics as the reference's in-place updates);
+  * torch's .detach() fake-handling becomes jax.lax.stop_gradient;
+  * the two discriminator updates share one set of detached fakes (the
+    reference recomputes them per update with fresh z — distributionally
+    identical, one fewer full council forward per step);
+  * three optax groups with torch-Adam semantics (train/optim.py) replace
+    the three torch.optim.Adam groups + StepLR schedulers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from councilx.config import Config
+from councilx.losses.council import council_dis_loss, council_gen_loss
+from councilx.losses.focus import mask_binary_loss, mask_size_loss, mask_tv_loss
+from councilx.losses.gan import gan_dis_loss, gan_gen_loss
+from councilx.nn.blocks import make_kernel_init
+from councilx.nn.discriminator import MsImageDis
+from councilx.nn.generator import AdaINGen, composite_with_mask
+from councilx.train.optim import make_optimizers
+
+
+class TrainState(struct.PyTreeNode):
+    """Everything that changes during training, as one donatable pytree."""
+
+    step: jnp.ndarray
+    rng: jax.Array
+    # params[direction][group]; direction in {'a2b','b2a'}, group in
+    # {'gen','dis','cdis'}; every leaf has a leading council axis (N, ...)
+    params: Dict[str, Dict[str, Any]]
+    opt_gen: Any
+    opt_dis: Any
+    opt_cdis: Any
+
+
+class CouncilTrainer:
+    """Builds models/optimizers and exposes the fused train step.
+
+    Host-side orchestration (logging cadence, checkpointing) lives in
+    train/loop.py; everything here is jit-compiled.
+    """
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.n = cfg.council.council_size
+        self.directions = [d for d, on in (("a2b", cfg.do_a2b),
+                                           ("b2a", cfg.do_b2a)) if on]
+        self.focus = cfg.council.focus_enabled
+        self.gan_type = cfg.dis.gan_type
+        self.conditional = cfg.council.council_conditional_input
+        self.dtype = (jnp.float32 if cfg.parity_mode
+                      or cfg.compute_dtype == "float32" else jnp.bfloat16)
+
+        g = cfg.gen
+        self.gen = AdaINGen(
+            input_dim=cfg.data.input_dim_a, dim=g.dim, style_dim=g.style_dim,
+            n_downsample=g.n_downsample, n_res=g.n_res, activ=g.activ,
+            pad_type=g.pad_type, mlp_dim=g.mlp_dim, mlp_n_blk=g.mlp_n_blk,
+            focus_mask=self.focus, kernel_init=make_kernel_init(cfg.init),
+            dtype=self.dtype)
+        d = cfg.dis
+        dis_kwargs = dict(dim=d.dim, n_layer=d.n_layer, norm=d.norm,
+                          activ=d.activ, num_scales=d.num_scales,
+                          pad_type=d.pad_type, gan_type=d.gan_type,
+                          kernel_init=make_kernel_init("gaussian"),
+                          dtype=self.dtype)
+        self.dis = MsImageDis(input_dim=cfg.data.input_dim_a, **dis_kwargs)
+        cdis_in = cfg.data.input_dim_a * (2 if self.conditional else 1)
+        self.cdis = MsImageDis(input_dim=cdis_in, **dis_kwargs)
+
+        self.gen_tx, self.dis_tx, self.cdis_tx = make_optimizers(cfg)
+        self.has_council = self.n > 1 and cfg.council.council_w > 0
+
+        self._jit_step = jax.jit(self._step, static_argnames=("do_cdis",),
+                                 donate_argnums=(0,))
+        self._jit_sample = jax.jit(self._sample_members)
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        cfg = self.cfg
+        h, w = cfg.data.crop_image_height, cfg.data.crop_image_width
+        dummy = jnp.zeros((1, h, w, cfg.data.input_dim_a), jnp.float32)
+        dummy_pair = jnp.zeros((1, h, w, self.cdis.input_dim), jnp.float32)
+
+        params: Dict[str, Dict[str, Any]] = {}
+        for d in self.directions:
+            rng, kg, kd, kc = jax.random.split(rng, 4)
+            gen_p = jax.vmap(self.gen.init, in_axes=(0, None))(
+                jax.random.split(kg, self.n), dummy)["params"]
+            dis_p = jax.vmap(self.dis.init, in_axes=(0, None))(
+                jax.random.split(kd, self.n), dummy)["params"]
+            cdis_p = jax.vmap(self.cdis.init, in_axes=(0, None))(
+                jax.random.split(kc, self.n), dummy_pair)["params"]
+            params[d] = {"gen": gen_p, "dis": dis_p, "cdis": cdis_p}
+
+        rng, state_rng = jax.random.split(rng)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            rng=state_rng,
+            params=params,
+            opt_gen=self.gen_tx.init({d: params[d]["gen"]
+                                      for d in self.directions}),
+            opt_dis=self.dis_tx.init({d: params[d]["dis"]
+                                      for d in self.directions}),
+            opt_cdis=self.cdis_tx.init({d: params[d]["cdis"]
+                                        for d in self.directions}),
+        )
+
+    # ------------------------------------------------------------------
+    # model application helpers (member axis vmapped)
+    # ------------------------------------------------------------------
+
+    def _translate_members(self, gen_params, x: jnp.ndarray, z: jnp.ndarray
+                           ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray],
+                                      jnp.ndarray]:
+        """All members translate the same batch: x (B,H,W,C), z (N,B,S) ->
+        (x_t (N,B,H,W,C), mask (N,B,H,W,1) | None, content (N,B,h,w,Cc))."""
+
+        def one(p, z_i):
+            c = self.gen.apply({"params": p}, x,
+                               method=AdaINGen.encode_content)
+            out = self.gen.apply({"params": p}, c, z_i,
+                                 method=AdaINGen.decode)
+            return out, c
+
+        outs, contents = jax.vmap(one)(gen_params, z)
+        if self.focus:
+            x_t, mask = composite_with_mask(outs, x)
+            return x_t, mask, contents
+        return outs, None, contents
+
+    def _dis_apply(self, p, x):
+        return self.dis.apply({"params": p}, x)
+
+    def _cdis_apply(self, p, x):
+        return self.cdis.apply({"params": p}, x)
+
+    # ------------------------------------------------------------------
+    # per-phase losses
+    # ------------------------------------------------------------------
+
+    def _dis_loss_dir(self, dis_params, fakes, real):
+        def member(p, f):
+            return gan_dis_loss(self._dis_apply(p, f),
+                                self._dis_apply(p, real), self.gan_type)
+
+        return jnp.sum(jax.vmap(member, in_axes=(0, 0))(dis_params, fakes))
+
+    def _gen_loss_dir(self, gen_params, dis_params, cdis_params,
+                      x_in, z, step) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        cfg = self.cfg
+        cc = cfg.council
+        x_t, mask, contents = self._translate_members(gen_params, x_in, z)
+
+        m: Dict[str, Any] = {}
+
+        # adversarial (reference: dis_a2b_s[i].calc_gen_loss, summed over i)
+        def member_adv(p_dis, x_i):
+            return gan_gen_loss(self._dis_apply(p_dis, x_i), self.gan_type)
+
+        loss_adv = jnp.sum(jax.vmap(member_adv)(dis_params, x_t))
+        m["loss_gen_adv"] = loss_adv
+        total = cfg.gan_w * loss_adv
+
+        # council mutual-agreement (gated by council_start_at_iter)
+        if self.has_council:
+            loss_c = council_gen_loss(self._cdis_apply, cdis_params, x_t,
+                                      x_in, self.gan_type, self.conditional)
+            gate = (step >= cc.council_start_at_iter).astype(jnp.float32)
+            m["loss_gen_council"] = loss_c
+            total += cc.council_w * gate * loss_c
+
+        # focus-mask losses
+        if self.focus:
+            gate_f = (step >= cc.focus_start_at_iter).astype(jnp.float32)
+            ls = mask_size_loss(mask)
+            lb = mask_binary_loss(mask)
+            m["loss_gen_mask_size"] = ls
+            m["loss_gen_mask_binary"] = lb
+            total += gate_f * (cc.mask_total_w * ls
+                               + cc.mask_zero_or_one_w * lb)
+            if cc.mask_tv_w:
+                lt = mask_tv_loss(mask)
+                m["loss_gen_mask_tv"] = lt
+                total += gate_f * cc.mask_tv_w * lt
+
+        # MUNIT-inherited reconstruction terms (config-gated; reference keeps
+        # recon_x_w / recon_s_w / recon_c_w in the YAMLs)
+        if cfg.recon_x_w:
+            def member_recon(p):
+                c, s = self.gen.apply({"params": p}, x_in,
+                                      method=AdaINGen.encode)
+                out = self.gen.apply({"params": p}, c, s,
+                                     method=AdaINGen.decode)
+                if self.focus:
+                    xr, _ = composite_with_mask(out, x_in)
+                else:
+                    xr = out
+                return jnp.mean(jnp.abs(xr.astype(jnp.float32)
+                                        - x_in.astype(jnp.float32)))
+
+            loss_rx = jnp.sum(jax.vmap(member_recon)(gen_params))
+            m["loss_gen_recon_x"] = loss_rx
+            total += cfg.recon_x_w * loss_rx
+
+        if cfg.recon_s_w:
+            def member_s(p, x_i):
+                return self.gen.apply({"params": p}, x_i,
+                                      method=AdaINGen.encode_style)
+
+            s_rec = jax.vmap(member_s)(gen_params, x_t)
+            loss_rs = jnp.mean(jnp.abs(s_rec.astype(jnp.float32)
+                                       - z.astype(jnp.float32))) * self.n
+            m["loss_gen_recon_s"] = loss_rs
+            total += cfg.recon_s_w * loss_rs
+
+        if cfg.recon_c_w:
+            def member_c(p, x_i):
+                return self.gen.apply({"params": p}, x_i,
+                                      method=AdaINGen.encode_content)
+
+            c_rec = jax.vmap(member_c)(gen_params, x_t)
+            loss_rc = jnp.mean(
+                jnp.abs(c_rec.astype(jnp.float32)
+                        - jax.lax.stop_gradient(contents).astype(jnp.float32))
+            ) * self.n
+            m["loss_gen_recon_c"] = loss_rc
+            total += cfg.recon_c_w * loss_rc
+
+        return total, m
+
+    # ------------------------------------------------------------------
+    # the fused step
+    # ------------------------------------------------------------------
+
+    def _step(self, state: TrainState, x_a: jnp.ndarray, x_b: jnp.ndarray,
+              do_cdis: bool):
+        cfg = self.cfg
+        n, sd = self.n, cfg.gen.style_dim
+        b = x_a.shape[0]
+        x_a = x_a.astype(self.dtype)
+        x_b = x_b.astype(self.dtype)
+        inputs = {"a2b": (x_a, x_b), "b2a": (x_b, x_a)}
+
+        rng, k_zd, k_zg = jax.random.split(state.rng, 3)
+        metrics: Dict[str, Any] = {}
+
+        # detached fakes shared by both discriminator updates
+        fakes: Dict[str, jnp.ndarray] = {}
+        for di, d in enumerate(self.directions):
+            x_in, _ = inputs[d]
+            z = jax.random.normal(jax.random.fold_in(k_zd, di), (n, b, sd),
+                                  self.dtype)
+            x_t, _, _ = self._translate_members(state.params[d]["gen"],
+                                                x_in, z)
+            fakes[d] = jax.lax.stop_gradient(x_t)
+
+        params = {d: dict(state.params[d]) for d in self.directions}
+
+        # ---- phase 1: council discriminators (reference dis_council_update)
+        opt_cdis = state.opt_cdis
+        if do_cdis and self.has_council:
+            def cdis_loss_fn(tree):
+                loss = 0.0
+                for d in self.directions:
+                    loss += council_dis_loss(
+                        self._cdis_apply, tree[d], fakes[d], inputs[d][0],
+                        self.gan_type, self.conditional)
+                return loss
+
+            tree = {d: params[d]["cdis"] for d in self.directions}
+            loss_cdis, grads = jax.value_and_grad(cdis_loss_fn)(tree)
+            updates, opt_cdis = self.cdis_tx.update(grads, state.opt_cdis,
+                                                    tree)
+            new_tree = optax.apply_updates(tree, updates)
+            for d in self.directions:
+                params[d]["cdis"] = new_tree[d]
+            metrics["loss_dis_council"] = loss_cdis
+
+        # ---- phase 2: domain discriminators (reference dis_update)
+        def dis_loss_fn(tree):
+            loss = 0.0
+            for d in self.directions:
+                _, real = inputs[d]
+                loss += self._dis_loss_dir(tree[d], fakes[d], real)
+            return loss
+
+        tree = {d: params[d]["dis"] for d in self.directions}
+        loss_dis, grads = jax.value_and_grad(dis_loss_fn)(tree)
+        updates, opt_dis = self.dis_tx.update(grads, state.opt_dis, tree)
+        new_tree = optax.apply_updates(tree, updates)
+        for d in self.directions:
+            params[d]["dis"] = new_tree[d]
+        metrics["loss_dis_adv"] = loss_dis
+
+        # ---- phase 3: generators (reference gen_update), seeing the freshly
+        # updated discriminators, exactly like the reference's in-place order
+        def gen_loss_fn(tree):
+            loss = 0.0
+            aux: Dict[str, Any] = {}
+            for di, d in enumerate(self.directions):
+                x_in, _ = inputs[d]
+                z = jax.random.normal(jax.random.fold_in(k_zg, di),
+                                      (n, b, sd), self.dtype)
+                ld, md = self._gen_loss_dir(
+                    tree[d], jax.lax.stop_gradient(params[d]["dis"]),
+                    jax.lax.stop_gradient(params[d]["cdis"]),
+                    x_in, z, state.step)
+                loss += ld
+                for k, v in md.items():
+                    aux[f"{k}_{d}"] = v
+            return loss, aux
+
+        tree = {d: params[d]["gen"] for d in self.directions}
+        (loss_gen, aux), grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(tree)
+        updates, opt_gen = self.gen_tx.update(grads, state.opt_gen, tree)
+        new_tree = optax.apply_updates(tree, updates)
+        for d in self.directions:
+            params[d]["gen"] = new_tree[d]
+        metrics["loss_gen_total"] = loss_gen
+        metrics.update(aux)
+
+        new_state = TrainState(
+            step=state.step + 1, rng=rng, params=params,
+            opt_gen=opt_gen, opt_dis=opt_dis, opt_cdis=opt_cdis)
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def train_step(self, state: TrainState, x_a, x_b) -> Tuple[TrainState,
+                                                               Dict]:
+        """One full iteration: council-dis -> dis -> gen, jitted and fused.
+
+        The council-dis update runs every
+        ``council_dis_relative_iteration``-th step (reference: the ratio the
+        train loop applies to dis_council_update)."""
+        ratio = max(1, self.cfg.council.council_dis_relative_iteration)
+        do_cdis = bool(int(state.step) % ratio == 0) if ratio > 1 else True
+        return self._jit_step(state, x_a, x_b, do_cdis=do_cdis)
+
+    def _sample_members(self, gen_params, x: jnp.ndarray, z: jnp.ndarray):
+        """Translations from every member for visualization: -> (N,B,H,W,C)."""
+        x_t, mask, _ = self._translate_members(gen_params, x, z)
+        return x_t, mask
+
+    def sample(self, state: TrainState, x: jnp.ndarray,
+               direction: str = "a2b", rng: Optional[jax.Array] = None):
+        """Reference Council_Trainer.sample: per-member sample sheets."""
+        if rng is None:
+            rng = jax.random.fold_in(state.rng, 7)
+        z = jax.random.normal(rng, (self.n, x.shape[0], self.cfg.gen.style_dim),
+                              self.dtype)
+        return self._jit_sample(state.params[direction]["gen"],
+                                x.astype(self.dtype), z)
