@@ -1,0 +1,113 @@
+"""Checkpoint save/restore (reference trainer_council.py::{save, resume}).
+
+The reference torch.saves per-member state dicts into
+outputs/<name>/checkpoints/gen_%08d.pt (+ dis/dis_council/optimizer.pt) and
+resumes by globbing the newest file and parsing the iteration out of the
+FILENAME (utils.py::get_model_list). Here:
+
+  * orbax saves the full TrainState (params + all three optimizer states +
+    step + rng) atomically per snapshot under checkpoints/step_<iter>;
+  * the iteration lives IN the payload, not the filename (SURVEY.md §5.3);
+  * ``latest_checkpoint`` replaces get_model_list;
+  * light-weight .npz export/import of generator params serves inference
+    tooling and the .pt conversion path without orbax.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _ckpt_dir(root: str, step: int) -> str:
+    return os.path.join(root, f"step_{step:08d}")
+
+
+def save_checkpoint(root: str, state, step: int, keep: int = 3) -> str:
+    """Atomic orbax snapshot of the TrainState at ``step``."""
+    import orbax.checkpoint as ocp
+
+    os.makedirs(root, exist_ok=True)
+    path = os.path.abspath(_ckpt_dir(root, step))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    _gc_old(root, keep)
+    return path
+
+
+def list_checkpoints(root: str):
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = re.fullmatch(r"step_(\d+)", name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(root, name)))
+    return sorted(out)
+
+
+def latest_checkpoint(root: str) -> Optional[Tuple[int, str]]:
+    """Newest snapshot (reference utils.py::get_model_list semantics)."""
+    cks = list_checkpoints(root)
+    return cks[-1] if cks else None
+
+
+def restore_checkpoint(root: str, state_template) -> Tuple[Any, int]:
+    """Restore the newest snapshot into the structure of ``state_template``."""
+    import orbax.checkpoint as ocp
+
+    found = latest_checkpoint(root)
+    if found is None:
+        raise FileNotFoundError(f"no checkpoints under {root}")
+    step, path = found
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path),
+                             item=jax.device_get(state_template))
+    return restored, step
+
+
+def _gc_old(root: str, keep: int) -> None:
+    import shutil
+
+    cks = list_checkpoints(root)
+    for _, path in cks[:-keep] if keep > 0 else []:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# npz flat pytree export (inference snapshots, .pt conversion target)
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix.rstrip("/")] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    tree: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def save_params_npz(path: str, params) -> None:
+    np.savez(path, **_flatten(jax.device_get(params)))
+
+
+def load_params_npz(path: str):
+    with np.load(path) as data:
+        return _unflatten({k: data[k] for k in data.files})

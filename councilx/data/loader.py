@@ -1,0 +1,114 @@
+"""Host-side batched loader with threaded decode + prefetch.
+
+Reference parity: utils.py::{get_all_data_loaders, get_data_loader_folder}
+(torch DataLoader with num_workers fork processes). TPU-native version:
+a thread pool decodes PIL images (libjpeg releases the GIL) into a bounded
+prefetch queue of stacked uint8 numpy batches; randomized augmentation is
+NOT done here — it happens on-device (ondevice.py).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from councilx.config import Config
+from councilx.data.dataset import ImageFolderDataset, SyntheticImageDataset
+
+
+class DataLoader:
+    """Infinite (train) or single-epoch (eval) uint8 batch iterator."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 4, drop_last: bool = True,
+                 infinite: bool = True, seed: int = 0, prefetch: int = 4):
+        if len(dataset) < batch_size and drop_last:
+            raise ValueError(
+                f"dataset of {len(dataset)} images smaller than batch_size "
+                f"{batch_size}")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.infinite = infinite
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def _index_stream(self) -> Iterator[np.ndarray]:
+        rng = np.random.RandomState(self.seed)
+        epoch = 0
+        while True:
+            idx = np.arange(len(self.dataset))
+            if self.shuffle:
+                rng.shuffle(idx)
+            lim = (len(idx) // self.batch_size * self.batch_size
+                   if self.drop_last else len(idx))
+            for s in range(0, lim, self.batch_size):
+                yield idx[s:s + self.batch_size]
+            epoch += 1
+            if not self.infinite:
+                return
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for batch_idx in self._index_stream():
+                    if stop.is_set():
+                        return
+                    arrs = list(pool.map(self.dataset.__getitem__,
+                                         batch_idx.tolist()))
+                    q.put(np.stack(arrs))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+def get_all_data_loaders(cfg: Config, synthetic: bool = False,
+                         synthetic_size: int = 64):
+    """Reference: utils.py::get_all_data_loaders -> (train_a, train_b,
+    test_a, test_b).
+
+    Expects the reference folder layout under ``cfg.data.data_root``:
+    trainA/ trainB/ testA/ testB/. ``synthetic=True`` substitutes
+    deterministic synthetic data (tests, benchmarks, smoke runs).
+    """
+    d = cfg.data
+
+    def make(split: str, train: bool):
+        if synthetic:
+            ds = SyntheticImageDataset(synthetic_size, d.new_size,
+                                       seed=hash(split) % (2 ** 31))
+        else:
+            ds = ImageFolderDataset(os.path.join(d.data_root, split),
+                                    new_size=d.new_size)
+        return DataLoader(ds, cfg.batch_size, shuffle=train,
+                          num_workers=d.num_workers, infinite=train,
+                          seed=0 if train else 1)
+
+    return (make("trainA", True), make("trainB", True),
+            make("testA", False), make("testB", False))

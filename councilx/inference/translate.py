@@ -1,0 +1,98 @@
+"""Batched translation (reference test_on_folder.py, §3.4 of SURVEY.md).
+
+The reference runs inference unbatched (batch size 1 per image, Python loop,
+fresh CUDA launches each time). Here translation is a single jitted function
+over a batch, optionally over all council members at once (vmapped member
+axis), with the style code injectable for reproducibility/parity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from councilx.config import Config
+from councilx.nn.blocks import make_kernel_init
+from councilx.nn.generator import AdaINGen, composite_with_mask
+
+
+class Translator:
+    """Holds the generator definition and jitted translate functions.
+
+    ``params`` may be a single member's pytree or the stacked (N, ...) tree;
+    pass ``member=i`` to slice one member out of a stacked tree.
+    """
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        g = cfg.gen
+        self.focus = cfg.council.focus_enabled
+        dtype = (jnp.float32 if cfg.parity_mode
+                 or cfg.compute_dtype == "float32" else jnp.bfloat16)
+        self.dtype = dtype
+        self.gen = AdaINGen(
+            input_dim=cfg.data.input_dim_a, dim=g.dim, style_dim=g.style_dim,
+            n_downsample=g.n_downsample, n_res=g.n_res, activ=g.activ,
+            pad_type=g.pad_type, mlp_dim=g.mlp_dim, mlp_n_blk=g.mlp_n_blk,
+            focus_mask=self.focus, kernel_init=make_kernel_init(cfg.init),
+            dtype=dtype)
+
+    @partial(jax.jit, static_argnums=0)
+    def _translate(self, params, x: jnp.ndarray, z: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        x = x.astype(self.dtype)
+        c = self.gen.apply({"params": params}, x,
+                           method=AdaINGen.encode_content)
+        out = self.gen.apply({"params": params}, c, z.astype(self.dtype),
+                             method=AdaINGen.decode)
+        if self.focus:
+            x_t, mask = composite_with_mask(out, x)
+            return x_t.astype(jnp.float32), mask.astype(jnp.float32)
+        return out.astype(jnp.float32), None
+
+    @partial(jax.jit, static_argnums=0)
+    def _translate_all_members(self, stacked_params, x: jnp.ndarray,
+                               z: jnp.ndarray):
+        """x (B,...), z (N,B,S) -> (N,B,H,W,3) translations from all members
+        in one batched call."""
+        return jax.vmap(lambda p, z_i: self._translate.__wrapped__(
+            self, p, x, z_i))(stacked_params, z)
+
+    # ------------------------------------------------------------------
+
+    def translate(self, params, x: jnp.ndarray,
+                  z: Optional[jnp.ndarray] = None,
+                  rng: Optional[jax.Array] = None,
+                  member: Optional[int] = None):
+        """Translate a batch. x: (B,H,W,3) float in [-1,1]. Returns
+        (images (B,H,W,3) in [-1,1], mask | None)."""
+        if member is not None:
+            params = jax.tree_util.tree_map(lambda l: l[member], params)
+        if z is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            z = jax.random.normal(rng, (x.shape[0], self.cfg.gen.style_dim))
+        return self._translate(params, x, z)
+
+    def translate_all_members(self, stacked_params, x: jnp.ndarray,
+                              z: Optional[jnp.ndarray] = None,
+                              rng: Optional[jax.Array] = None):
+        n = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+        if z is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            z = jax.random.normal(rng,
+                                  (n, x.shape[0], self.cfg.gen.style_dim))
+        return self._translate_all_members(stacked_params, x, z)
+
+
+def denormalize_to_uint8(img: np.ndarray) -> np.ndarray:
+    """[-1,1] float -> uint8, matching the reference's save path
+    (vutils.save_image((out+1)/2): scale, clamp, round)."""
+    arr = (np.asarray(img, dtype=np.float32) + 1.0) * 0.5
+    arr = np.clip(arr, 0.0, 1.0)
+    return (arr * 255.0 + 0.5).astype(np.uint8)

@@ -1,0 +1,124 @@
+"""Outer training loop (reference train.py §3.1 of SURVEY.md).
+
+Hot loop shape matches the reference — fetch unpaired batch pair, step, log /
+sample / snapshot on the configured cadences — with the TPU-native changes:
+uint8 batches go to device and are augmented inside jit (data/ondevice.py),
+all three updates happen in one fused jitted call, checkpoints are orbax
+snapshots, and per-step wall time / images-per-second (the north-star
+metric) are tracked and logged. Optional jax.profiler traces cover SURVEY.md
+§5.1 (the reference has no tracing at all).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from councilx.config import Config
+from councilx.ckpt.manager import (latest_checkpoint, restore_checkpoint,
+                                   save_checkpoint)
+from councilx.data.loader import get_all_data_loaders
+from councilx.data.ondevice import augment_batch
+from councilx.train.trainer import CouncilTrainer
+from councilx.utils.images import write_html, write_sample_sheet
+from councilx.utils.logging import MetricLogger, prepare_sub_folder
+
+
+def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
+          resume: bool = False, synthetic: bool = False,
+          max_steps: Optional[int] = None, seed: int = 0,
+          profile_steps: Optional[range] = None) -> Dict:
+    """Run training. Returns a summary dict (final step, throughput)."""
+    run_dir = os.path.join(output_path, run_name)
+    ckpt_dir, image_dir = prepare_sub_folder(run_dir)
+    logger = MetricLogger(run_dir)
+    with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f)  # reference copies the config too
+
+    trainer = CouncilTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(seed))
+    start_step = 0
+    if resume and latest_checkpoint(ckpt_dir):
+        state, start_step = restore_checkpoint(ckpt_dir, state)
+        print(f"resumed from iteration {start_step}")
+
+    train_a, train_b, test_a, test_b = get_all_data_loaders(
+        cfg, synthetic=synthetic)
+    # fixed display batches (reference: display_size samples)
+    disp_n = min(cfg.display_size, cfg.batch_size)
+    disp_a = next(iter(test_a))[:disp_n]
+    disp_train_a = next(iter(train_a))[:disp_n]
+
+    aug_key = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+    crop_h, crop_w = cfg.data.crop_image_height, cfg.data.crop_image_width
+
+    limit = min(cfg.max_iter, max_steps + start_step if max_steps else
+                cfg.max_iter)
+    step = start_step
+    t_window = time.perf_counter()
+    window_steps = 0
+    images_per_sec = 0.0
+
+    it_a, it_b = iter(train_a), iter(train_b)
+    while step < limit:
+        a_u8, b_u8 = next(it_a), next(it_b)
+        k = jax.random.fold_in(aug_key, step)
+        ka, kb = jax.random.split(k)
+        x_a = augment_batch(ka, jnp.asarray(a_u8), crop_h, crop_w, train=True)
+        x_b = augment_batch(kb, jnp.asarray(b_u8), crop_h, crop_w, train=True)
+
+        if profile_steps and step == profile_steps.start:
+            jax.profiler.start_trace(os.path.join(run_dir, "profile"))
+        state, metrics = trainer.train_step(state, x_a, x_b)
+        if profile_steps and step == profile_steps.stop:
+            jax.tree_util.tree_map(
+                lambda l: l.block_until_ready(), metrics)
+            jax.profiler.stop_trace()
+
+        step += 1
+        window_steps += 1
+
+        if step % cfg.log_iter == 0:
+            now = time.perf_counter()
+            images_per_sec = (window_steps * cfg.batch_size
+                              / max(now - t_window, 1e-9))
+            t_window, window_steps = now, 0
+            metrics = dict(metrics)
+            metrics["images_per_sec"] = images_per_sec
+            logger.write(step, metrics)
+
+        if cfg.image_save_iter and step % cfg.image_save_iter == 0:
+            _write_samples(trainer, state, disp_a, disp_train_a, image_dir,
+                           step, crop_h, crop_w)
+            write_html(os.path.join(run_dir, "index.html"), image_dir, step,
+                       cfg.image_save_iter)
+
+        if cfg.snapshot_save_iter and step % cfg.snapshot_save_iter == 0:
+            save_checkpoint(ckpt_dir, state, step)
+
+    save_checkpoint(ckpt_dir, state, step)
+    logger.close()
+    return {"step": step, "images_per_sec": images_per_sec}
+
+
+def _write_samples(trainer: CouncilTrainer, state, test_u8, train_u8,
+                   image_dir: str, step: int, crop_h: int,
+                   crop_w: int) -> None:
+    """Per-member sample sheets for train and test batches (reference
+    Council_Trainer.sample + utils.write_2images)."""
+    for tag, batch in (("test", test_u8), ("train", train_u8)):
+        x = augment_batch(jax.random.PRNGKey(0), jnp.asarray(batch), crop_h,
+                          crop_w, train=False)
+        for d in trainer.directions:
+            x_t, mask = trainer.sample(state, x, direction=d)
+            write_sample_sheet(
+                image_dir, f"{tag}_{step:08d}",
+                np.asarray(x), np.asarray(x_t),
+                np.asarray(mask) if mask is not None else None)

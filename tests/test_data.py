@@ -1,0 +1,107 @@
+"""Data pipeline tests: datasets, loader, on-device augmentation."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from councilx.config import Config
+from councilx.data.dataset import (ImageFolderDataset, SyntheticImageDataset,
+                                   is_image_file, list_images)
+from councilx.data.loader import DataLoader, get_all_data_loaders
+from councilx.data.ondevice import augment_batch, normalize_batch
+
+
+def test_is_image_file():
+    assert is_image_file("a.jpg") and is_image_file("B.PNG")
+    assert not is_image_file("notes.txt")
+
+
+@pytest.fixture
+def image_folder(tmp_path):
+    from PIL import Image
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        arr = rng.randint(0, 256, size=(50, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / f"img_{i}.png")
+    return str(root)
+
+
+def test_image_folder_dataset(image_folder):
+    ds = ImageFolderDataset(image_folder, new_size=36)
+    assert len(ds) == 6
+    arr = ds[0]
+    assert arr.shape == (36, 36, 3) and arr.dtype == np.uint8
+
+
+def test_image_folder_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ImageFolderDataset(str(tmp_path / "nope"), new_size=32)
+
+
+def test_loader_batches(image_folder):
+    ds = ImageFolderDataset(image_folder, new_size=36)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, infinite=False,
+                    num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 1  # 6 // 4, drop_last
+    assert batches[0].shape == (4, 36, 36, 3)
+
+
+def test_loader_infinite_stream():
+    ds = SyntheticImageDataset(5, new_size=16)
+    dl = DataLoader(ds, batch_size=2, infinite=True)
+    it = iter(dl)
+    shapes = [next(it).shape for _ in range(5)]  # > one epoch
+    assert all(s == (2, 16, 16, 3) for s in shapes)
+
+
+def test_get_all_data_loaders_synthetic():
+    cfg = Config.from_dict({"batch_size": 2,
+                            "new_size": 20,
+                            "crop_image_height": 16,
+                            "crop_image_width": 16})
+    tr_a, tr_b, te_a, te_b = get_all_data_loaders(cfg, synthetic=True,
+                                                  synthetic_size=8)
+    a = next(iter(tr_a))
+    assert a.shape == (2, 20, 20, 3) and a.dtype == np.uint8
+    # test split is finite
+    assert len(list(te_a)) == 4
+
+
+def test_normalize_range():
+    x = jnp.asarray(np.array([[[[0, 128, 255]]]], dtype=np.uint8))
+    out = np.asarray(normalize_batch(x))
+    np.testing.assert_allclose(out[0, 0, 0], [-1.0, 2 * 128 / 255 - 1, 1.0],
+                               atol=1e-6)
+
+
+def test_augment_train_shapes_and_range(rng):
+    batch = jnp.asarray(rng.randint(0, 256, size=(4, 40, 40, 3),
+                                    dtype=np.uint8))
+    out = augment_batch(jax.random.PRNGKey(0), batch, 32, 32, train=True)
+    assert out.shape == (4, 32, 32, 3)
+    assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
+
+
+def test_augment_eval_is_center_crop(rng):
+    batch = jnp.asarray(rng.randint(0, 256, size=(2, 40, 40, 3),
+                                    dtype=np.uint8))
+    out = augment_batch(jax.random.PRNGKey(0), batch, 32, 32, train=False)
+    ref = normalize_batch(batch)[:, 4:36, 4:36, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_augment_deterministic_per_key(rng):
+    batch = jnp.asarray(rng.randint(0, 256, size=(2, 40, 40, 3),
+                                    dtype=np.uint8))
+    a = augment_batch(jax.random.PRNGKey(3), batch, 32, 32, train=True)
+    b = augment_batch(jax.random.PRNGKey(3), batch, 32, 32, train=True)
+    c = augment_batch(jax.random.PRNGKey(4), batch, 32, 32, train=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))

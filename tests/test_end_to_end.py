@@ -1,0 +1,171 @@
+"""End-to-end: train loop (synthetic), checkpoint/resume, inference CLI
+round-trips, and the .pt conversion path (SURVEY.md §4 levels 2-3)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from councilx.config import load_config
+from councilx.ckpt.manager import (latest_checkpoint, load_params_npz,
+                                   restore_checkpoint, save_checkpoint,
+                                   save_params_npz)
+from councilx.train.loop import train
+from councilx.train.trainer import CouncilTrainer
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+SMOKE = os.path.join(REPO, "configs", "smoke_tiny.yaml")
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run"))
+    cfg = load_config(SMOKE)
+    summary = train(cfg, output_path=out, run_name="smoke", synthetic=True,
+                    max_steps=4)
+    return cfg, out, summary
+
+
+def test_train_loop_runs(trained_run):
+    cfg, out, summary = trained_run
+    assert summary["step"] == 4
+    run_dir = os.path.join(out, "smoke")
+    assert os.path.exists(os.path.join(run_dir, "config.yaml"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    # sample sheets + html were written at the image_save_iter cadence
+    assert os.path.exists(os.path.join(run_dir, "images",
+                                       "train_00000002.jpg"))
+    assert os.path.exists(os.path.join(run_dir, "index.html"))
+    assert latest_checkpoint(os.path.join(run_dir, "checkpoints"))
+
+
+def test_resume_continues(trained_run):
+    cfg, out, _ = trained_run
+    summary = train(cfg, output_path=out, run_name="smoke", synthetic=True,
+                    max_steps=2, resume=True)
+    assert summary["step"] == 6
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = load_config(SMOKE)
+    trainer = CouncilTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path), state, 7)
+    restored, step = restore_checkpoint(str(tmp_path), state)
+    assert step == 7
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_npz_roundtrip(tmp_path):
+    cfg = load_config(SMOKE)
+    trainer = CouncilTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    path = str(tmp_path / "gen.npz")
+    save_params_npz(path, state.params["a2b"]["gen"])
+    loaded = load_params_npz(path)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params["a2b"]["gen"]),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_translator_matches_trainer_sample(trained_run):
+    from councilx.inference.translate import Translator
+
+    cfg, out, _ = trained_run
+    trainer = CouncilTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    tr = Translator(cfg)
+    x = jnp.asarray(np.random.RandomState(0).uniform(
+        -1, 1, size=(2, 32, 32, 3)).astype(np.float32))
+    z = jnp.asarray(np.random.RandomState(1).randn(2, 3).astype(np.float32))
+    out_t, mask = tr.translate(state.params["a2b"]["gen"], x, z=z, member=0)
+    # same member, same z through the trainer's path
+    params0 = jax.tree_util.tree_map(lambda l: l[0:1],
+                                     state.params["a2b"]["gen"])
+    x_t, _, _ = trainer._translate_members(
+        jax.tree_util.tree_map(lambda l: l, params0), x, z[None])
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(x_t[0]),
+                               atol=1e-6)
+    assert mask.shape == (2, 32, 32, 1)
+
+
+def test_folder_cli_end_to_end(tmp_path):
+    """python test_on_folder.py with an .npz checkpoint on a tiny folder."""
+    from PIL import Image
+
+    cfg = load_config(SMOKE)
+    trainer = CouncilTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "gen.npz")
+    save_params_npz(ckpt, state.params["a2b"]["gen"])
+
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+                        ).save(in_dir / f"x{i}.png")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "test_on_folder.py"),
+         "--config", SMOKE, "--checkpoint", ckpt,
+         "--input_folder", str(in_dir), "--output_folder", str(out_dir),
+         "--member", "all", "--batch_size", "2"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    outs = sorted(os.listdir(out_dir))
+    assert len(outs) == 6  # 3 images x 2 members
+    assert all(f.endswith(".jpg") for f in outs)
+
+
+def test_convert_pt_roundtrip(tmp_path):
+    """Fake reference gen_*.pt (per-member torch state dicts) -> npz ->
+    Translator output matches the torch oracle."""
+    import torch
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_ref import AdaINGenT
+
+    from tools.convert_pt import convert_reference_gen_pt
+    from councilx.inference.translate import Translator
+
+    cfg = load_config(SMOKE)
+    torch.manual_seed(0)
+    g = cfg.gen
+    members = [AdaINGenT(input_dim=3, dim=g.dim, style_dim=g.style_dim,
+                         n_downsample=g.n_downsample, n_res=g.n_res,
+                         mlp_dim=g.mlp_dim, output_dim=4)
+               for _ in range(2)]
+    pt_path = str(tmp_path / "gen_00000001.pt")
+    torch.save({f"a2b_{i}": m.state_dict() for i, m in enumerate(members)},
+               pt_path)
+
+    params = convert_reference_gen_pt(pt_path, cfg, "a2b")
+    assert jax.tree_util.tree_leaves(params)[0].shape[0] == 2
+
+    x = np.random.RandomState(0).uniform(-1, 1, (1, 32, 32, 3)).astype(
+        np.float32)
+    z = np.random.RandomState(1).randn(1, g.style_dim).astype(np.float32)
+    tr = Translator(cfg)
+    for i, tm in enumerate(members):
+        tm.eval()
+        with torch.no_grad():
+            c = tm.enc_content(torch.from_numpy(
+                np.transpose(x, (0, 3, 1, 2))))
+            dec = tm.decode(c, torch.from_numpy(z))
+            rgb = dec[:, :3]
+            mask = (dec[:, 3:4] + 1) * 0.5
+            ref = (mask * rgb + (1 - mask) * torch.from_numpy(
+                np.transpose(x, (0, 3, 1, 2)))).numpy()
+        out, _ = tr.translate(params, jnp.asarray(x), z=jnp.asarray(z),
+                              member=i)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.transpose(ref, (0, 2, 3, 1)),
+                                   atol=3e-5)

@@ -1,0 +1,43 @@
+#!/usr/bin/env python
+"""Training CLI, argument-compatible with the reference train.py:
+
+    python train.py --config configs/male2female_council_folder.yaml \
+        [--output_path outputs] [--resume] [--trainer council]
+
+Extra flags (TPU build): --synthetic (no dataset needed), --max_steps,
+--seed, --profile.
+"""
+
+import argparse
+import os
+
+from councilx.config import load_config
+from councilx.train.loop import train
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True, help="yaml config path")
+    p.add_argument("--output_path", default="outputs")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--trainer", default="council",
+                   help="kept for reference CLI compatibility")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic data (smoke runs)")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of steps 10-15")
+    args = p.parse_args()
+
+    cfg = load_config(args.config)
+    run_name = os.path.splitext(os.path.basename(args.config))[0]
+    summary = train(cfg, output_path=args.output_path, run_name=run_name,
+                    resume=args.resume, synthetic=args.synthetic,
+                    max_steps=args.max_steps, seed=args.seed,
+                    profile_steps=range(10, 15) if args.profile else None)
+    print(summary)
+
+
+if __name__ == "__main__":
+    main()
