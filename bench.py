@@ -58,14 +58,19 @@ def main():
     x_b = jnp.asarray(rng.uniform(-1, 1, (batch, 256, 256, 3))
                       .astype(np.float32))
 
+    # NOTE: timing barriers use jax.device_get (a host readback), NOT
+    # block_until_ready — under the remote-TPU tunnel used here,
+    # block_until_ready returns before device execution finishes, which
+    # inflates throughput ~50x. A readback of the final step's metrics
+    # forces the entire donated-state dependency chain to have executed.
     for _ in range(warmup):
         state, metrics = trainer.train_step(state, x_a, x_b)
-    jax.block_until_ready(metrics)
+    jax.device_get(metrics)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = trainer.train_step(state, x_a, x_b)
-    jax.block_until_ready(metrics)
+    jax.device_get(metrics)
     dt = time.perf_counter() - t0
 
     images_per_sec_per_chip = batch * steps / dt / n_chips

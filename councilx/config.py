@@ -196,6 +196,9 @@ class Config:
     parity_mode: bool = False
     # pallas kernel toggles (XLA fallback when False)
     use_pallas: bool = False
+    # phase-decomposed decoder upsample+conv (exact rewrite, 9/25 the MACs);
+    # automatically disabled in parity_mode (float summation order differs)
+    fuse_upsample: bool = True
     # data-parallel mesh axis size (1 = single chip); see parallel/mesh.py
     num_devices: int = 1
 

@@ -39,7 +39,8 @@ class Translator:
             n_downsample=g.n_downsample, n_res=g.n_res, activ=g.activ,
             pad_type=g.pad_type, mlp_dim=g.mlp_dim, mlp_n_blk=g.mlp_n_blk,
             focus_mask=self.focus, kernel_init=make_kernel_init(cfg.init),
-            dtype=dtype)
+            dtype=dtype,
+            fuse_upsample=cfg.fuse_upsample and not cfg.parity_mode)
 
     @partial(jax.jit, static_argnums=0)
     def _translate(self, params, x: jnp.ndarray, z: jnp.ndarray

@@ -231,11 +231,39 @@ class SpectralConv(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class _ConvParams(nn.Module):
+    """Declares conv kernel/bias with nn.Conv's exact param names & shapes.
+
+    Used by Conv2dBlock's fused-upsample branch so that the fused and
+    unfused code paths produce IDENTICAL parameter pytrees (checkpoints are
+    interchangeable; name this module "Conv_0" to match nn.Conv auto-naming).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    kernel_init: Callable = nn.initializers.he_normal()
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        kernel = self.param("kernel", self.kernel_init,
+                            self.kernel_size + (in_ch, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class Conv2dBlock(nn.Module):
     """pad -> conv -> norm -> activation (reference networks.py::Conv2dBlock).
 
     ``norm='adain'`` blocks take the (gamma, beta) pair as a call argument
     (functional AdaIN) instead of the reference's module-state assignment.
+
+    ``upsample2x=True`` folds a preceding nearest-2x upsample (the
+    reference decoder's nn.Upsample) into this block; with
+    ``fuse_upsample=True`` (and a 5x5/s1/p2 conv) the phase-decomposed
+    fast path from ops/upsample_conv.py runs — 9/25 the MACs and no
+    upsampled intermediate in HBM — with an identical parameter tree.
     """
 
     out_dim: int
@@ -247,21 +275,39 @@ class Conv2dBlock(nn.Module):
     pad_type: str = "zero"        # reflect | replicate | zero
     kernel_init: Callable = nn.initializers.he_normal()
     dtype: Dtype = jnp.float32
+    upsample2x: bool = False
+    fuse_upsample: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  adain_params: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
                  ) -> jnp.ndarray:
-        x = pad2d(x, self.padding, self.pad_type)
+        fused = (self.upsample2x and self.fuse_upsample
+                 and self.norm != "sn" and self.kernel_size == 5
+                 and self.stride == 1 and self.padding == 2)
+        if self.upsample2x and not fused:
+            x = upsample_nearest_2x(x)
+
         # reference: use_bias = True except under 'bn' (MUNIT passes bias
         # always; nn.Conv2d default bias=True)
-        if self.norm == "sn":
+        if fused:
+            from councilx.ops.upsample_conv import upsample2x_conv5x5
+
+            kernel, bias = _ConvParams(
+                features=self.out_dim, kernel_size=(5, 5),
+                kernel_init=self.kernel_init, name="Conv_0")(x.shape[-1])
+            y = upsample2x_conv5x5(x.astype(self.dtype),
+                                   kernel.astype(self.dtype),
+                                   bias, self.pad_type)
+        elif self.norm == "sn":
+            x = pad2d(x, self.padding, self.pad_type)
             y = SpectralConv(
                 features=self.out_dim,
                 kernel_size=(self.kernel_size, self.kernel_size),
                 strides=(self.stride, self.stride),
                 kernel_init=self.kernel_init, dtype=self.dtype)(x)
         else:
+            x = pad2d(x, self.padding, self.pad_type)
             y = nn.Conv(
                 features=self.out_dim,
                 kernel_size=(self.kernel_size, self.kernel_size),
@@ -269,7 +315,7 @@ class Conv2dBlock(nn.Module):
                 padding="VALID", use_bias=True,
                 kernel_init=self.kernel_init,
                 bias_init=nn.initializers.zeros,
-                dtype=self.dtype, param_dtype=jnp.float32)(x)
+                dtype=self.dtype, param_dtype=jnp.float32, name="Conv_0")(x)
 
         if self.norm == "in":
             y = instance_norm(y.astype(jnp.float32)).astype(self.dtype)

@@ -35,7 +35,6 @@ from councilx.nn.blocks import (
     Conv2dBlock,
     ResBlocks,
     adaptive_avg_pool_1,
-    upsample_nearest_2x,
 )
 
 Dtype = Any
@@ -123,6 +122,9 @@ class Decoder(nn.Module):
     pad_type: str = "reflect"
     kernel_init: Callable = nn.initializers.he_normal()
     dtype: Dtype = jnp.float32
+    # phase-decomposed upsample+conv (ops/upsample_conv.py): exact rewrite,
+    # 9/25 the MACs; off in parity mode (summation order differs slightly)
+    fuse_upsample: bool = True
 
     @staticmethod
     def num_adain_params(dim: int, n_res: int) -> int:
@@ -146,10 +148,11 @@ class Decoder(nn.Module):
                       pad_type=self.pad_type, kernel_init=self.kernel_init,
                       dtype=self.dtype)(x, pairs)
         for _ in range(self.n_upsample):
-            x = upsample_nearest_2x(x)
             x = Conv2dBlock(dim // 2, 5, 1, 2, norm="ln",
                             activation=self.activ, pad_type=self.pad_type,
-                            kernel_init=self.kernel_init, dtype=self.dtype)(x)
+                            kernel_init=self.kernel_init, dtype=self.dtype,
+                            upsample2x=True,
+                            fuse_upsample=self.fuse_upsample)(x)
             dim //= 2
         x = Conv2dBlock(self.output_dim, 7, 1, 3, norm="none",
                         activation="tanh", pad_type=self.pad_type,
@@ -176,6 +179,7 @@ class AdaINGen(nn.Module):
     focus_mask: bool = True     # emit an extra alpha-mask output channel
     kernel_init: Callable = nn.initializers.he_normal()
     dtype: Dtype = jnp.float32
+    fuse_upsample: bool = True  # see Decoder.fuse_upsample
 
     @property
     def content_dim(self) -> int:
@@ -199,7 +203,7 @@ class AdaINGen(nn.Module):
             dim=self.content_dim, output_dim=self.output_dim,
             n_upsample=self.n_downsample, n_res=self.n_res, activ=self.activ,
             pad_type=self.pad_type, kernel_init=self.kernel_init,
-            dtype=self.dtype)
+            dtype=self.dtype, fuse_upsample=self.fuse_upsample)
         self.mlp = MLP(
             out_dim=Decoder.num_adain_params(self.content_dim, self.n_res),
             dim=self.mlp_dim, n_blk=self.mlp_n_blk, norm="none",

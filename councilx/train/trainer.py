@@ -75,7 +75,8 @@ class CouncilTrainer:
             n_downsample=g.n_downsample, n_res=g.n_res, activ=g.activ,
             pad_type=g.pad_type, mlp_dim=g.mlp_dim, mlp_n_blk=g.mlp_n_blk,
             focus_mask=self.focus, kernel_init=make_kernel_init(cfg.init),
-            dtype=self.dtype)
+            dtype=self.dtype,
+            fuse_upsample=cfg.fuse_upsample and not cfg.parity_mode)
         d = cfg.dis
         dis_kwargs = dict(dim=d.dim, n_layer=d.n_layer, norm=d.norm,
                           activ=d.activ, num_scales=d.num_scales,

@@ -1,0 +1,86 @@
+"""Tests for TPU-optimized ops: optimized paths must match the exact
+reference formulations (forward AND gradients) on CPU at fp32."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from councilx.ops.upsample_conv import (upsample2x_conv5x5,
+                                        upsample2x_conv5x5_reference)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("pad_type", ["reflect", "replicate", "zero"])
+@pytest.mark.parametrize("hw", [(4, 4), (5, 7), (8, 8), (16, 12)])
+def test_fused_upsample_conv_matches_reference(rng, pad_type, hw):
+    r = np.random.default_rng(0)
+    h, w = hw
+    x = _rand(r, 2, h, w, 6)
+    k = _rand(r, 5, 5, 6, 8) * 0.1
+    b = _rand(r, 8) * 0.1
+    ref = upsample2x_conv5x5_reference(x, k, b, pad_type,
+                                       precision="highest")
+    fast = upsample2x_conv5x5(x, k, b, pad_type, precision="highest")
+    assert fast.shape == ref.shape == (2, 2 * h, 2 * w, 8)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_fused_upsample_conv_gradients_match(rng):
+    r = np.random.default_rng(1)
+    x = _rand(r, 1, 8, 8, 4)
+    k = _rand(r, 5, 5, 4, 3) * 0.1
+    b = _rand(r, 3) * 0.1
+
+    def loss_ref(x, k, b):
+        y = upsample2x_conv5x5_reference(x, k, b, "reflect",
+                                         precision="highest")
+        return jnp.sum(jnp.sin(y))
+
+    def loss_fast(x, k, b):
+        y = upsample2x_conv5x5(x, k, b, "reflect", precision="highest")
+        return jnp.sum(jnp.sin(y))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, b)
+    g_fast = jax.grad(loss_fast, argnums=(0, 1, 2))(x, k, b)
+    for a, bb in zip(g_ref, g_fast):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_tiny_input_falls_back(rng):
+    r = np.random.default_rng(2)
+    x = _rand(r, 1, 3, 3, 2)
+    k = _rand(r, 5, 5, 2, 2)
+    ref = upsample2x_conv5x5_reference(x, k, None, "reflect")
+    fast = upsample2x_conv5x5(x, k, None, "reflect")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
+
+
+def test_decoder_fused_matches_unfused(rng):
+    """Same params through fused vs unfused Decoder -> same output."""
+    from councilx.nn.generator import Decoder
+
+    r = np.random.default_rng(3)
+    content = _rand(r, 2, 8, 8, 32)
+    adain_vec = _rand(r, 2, 2 * 32 * 2 * 2)  # 2 resblocks x 2 convs x 2*dim
+    dec_ref = Decoder(dim=32, output_dim=4, n_upsample=2, n_res=2,
+                      fuse_upsample=False)
+    dec_fast = Decoder(dim=32, output_dim=4, n_upsample=2, n_res=2,
+                       fuse_upsample=True)
+    params = dec_ref.init(jax.random.PRNGKey(0), content, adain_vec)["params"]
+    # identical param trees by construction
+    params_fast = dec_fast.init(jax.random.PRNGKey(0), content,
+                                adain_vec)["params"]
+    ref_paths = jax.tree_util.tree_structure(params)
+    fast_paths = jax.tree_util.tree_structure(params_fast)
+    assert ref_paths == fast_paths
+
+    y_ref = dec_ref.apply({"params": params}, content, adain_vec)
+    y_fast = dec_fast.apply({"params": params}, content, adain_vec)
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                               atol=1e-4, rtol=1e-4)
