@@ -38,6 +38,19 @@ class DataLoader:
         self.infinite = infinite
         self.seed = seed
         self.prefetch = prefetch
+        # native C++ decode path (councilx/data/native): used when the
+        # dataset is a plain image folder at new_size with no crop override;
+        # PIL thread pool remains the fallback (and the parity path)
+        self._native = None
+        if (isinstance(dataset, ImageFolderDataset)
+                and dataset.crop in (None, dataset.new_size)
+                and not dataset.return_paths):
+            try:
+                from councilx.data.native import NativeImageLoader
+                self._native = NativeImageLoader(
+                    dataset.paths, dataset.new_size, threads=self.num_workers)
+            except Exception:
+                self._native = None
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.batch_size
@@ -71,9 +84,17 @@ class DataLoader:
                 for batch_idx in self._index_stream():
                     if stop.is_set():
                         return
-                    arrs = list(pool.map(self.dataset.__getitem__,
-                                         batch_idx.tolist()))
-                    q.put(np.stack(arrs))
+                    batch = None
+                    if self._native is not None:
+                        try:
+                            batch = self._native.load_batch(batch_idx)
+                        except IOError:
+                            batch = None  # corrupt/odd file -> PIL fallback
+                    if batch is None:
+                        arrs = list(pool.map(self.dataset.__getitem__,
+                                             batch_idx.tolist()))
+                        batch = np.stack(arrs)
+                    q.put(batch)
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

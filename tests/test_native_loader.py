@@ -1,0 +1,96 @@
+"""Tests for the native C++ image loader (decode + resize + crop).
+
+Validated against the PIL path (dataset.py::_load_resize_crop): same decode
+bits (both use libjpeg/libpng), resize differs only in fixed-point vs float
+rounding — tolerance is a couple of gray levels.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from councilx.data.dataset import ImageFolderDataset, _load_resize_crop
+from councilx.data.loader import DataLoader
+
+
+def _native_or_skip():
+    from councilx.data.native import load_native
+    lib = load_native()
+    if lib is None:
+        pytest.skip("native loader could not be built in this environment")
+    return lib
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    sizes = [(64, 48), (100, 100), (37, 81), (256, 128)]
+    for i, (w, h) in enumerate(sizes):
+        arr = rng.randint(0, 256, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(d / f"img{i}.jpg", quality=95)
+    # a png too (palette-free RGB)
+    arr = rng.randint(0, 256, (80, 60, 3), np.uint8)
+    Image.fromarray(arr).save(d / "img_png.png")
+    return str(d)
+
+
+def test_native_matches_pil(image_dir):
+    _native_or_skip()
+    from councilx.data.native import NativeImageLoader
+
+    ds = ImageFolderDataset(image_dir, new_size=32)
+    nat = NativeImageLoader(ds.paths, new_size=32)
+    got = nat.load_batch(np.arange(len(ds.paths)))
+    assert got.shape == (len(ds.paths), 32, 32, 3)
+    for i, p in enumerate(ds.paths):
+        ref = _load_resize_crop(p, 32)
+        diff = np.abs(got[i].astype(int) - ref.astype(int))
+        assert diff.max() <= 3, f"{p}: max diff {diff.max()}"
+        assert diff.mean() < 1.0, f"{p}: mean diff {diff.mean()}"
+
+
+def test_native_bad_index_raises(image_dir):
+    _native_or_skip()
+    from councilx.data.native import NativeImageLoader
+
+    ds = ImageFolderDataset(image_dir, new_size=16)
+    nat = NativeImageLoader(ds.paths, new_size=16)
+    with pytest.raises(IOError):
+        nat.load_batch(np.array([10_000]))
+
+
+def test_native_corrupt_file_raises(tmp_path):
+    _native_or_skip()
+    from councilx.data.native import NativeImageLoader
+
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"\xff\xd8 this is not a jpeg")
+    nat = NativeImageLoader([str(bad)], new_size=16)
+    with pytest.raises(IOError):
+        nat.load_batch(np.array([0]))
+
+
+def test_dataloader_uses_native_and_matches_shapes(image_dir):
+    _native_or_skip()
+    ds = ImageFolderDataset(image_dir, new_size=24)
+    dl = DataLoader(ds, batch_size=2, shuffle=False, infinite=False,
+                    num_workers=2)
+    assert dl._native is not None
+    batches = list(dl)
+    assert all(b.shape == (2, 24, 24, 3) and b.dtype == np.uint8
+               for b in batches)
+    # content parity with the pure-PIL path
+    os.environ["COUNCILX_NO_NATIVE"] = "1"
+    try:
+        dl2 = DataLoader(ds, batch_size=2, shuffle=False, infinite=False,
+                         num_workers=2)
+        # NO_NATIVE only affects fresh builds; force the fallback directly
+        dl2._native = None
+        ref_batches = list(dl2)
+    finally:
+        del os.environ["COUNCILX_NO_NATIVE"]
+    for a, b in zip(batches, ref_batches):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 3

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Component-wise timing of the fused train step on the current device.
+
+Times (readback barriers — block_until_ready is unreliable under the
+remote-TPU tunnel) the full step and isolated pieces to guide kernel work.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from councilx.config import Config
+from councilx.train.trainer import CouncilTrainer
+
+
+def timeit(fn, *args, steps=10, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / steps
+
+
+def main():
+    batch = 8
+    cfg = Config.from_dict({
+        "batch_size": batch, "compute_dtype": "bfloat16",
+        "council": {"council_size": 4, "council_w": 0.2,
+                    "council_start_at_iter": 0},
+        "focus_loss": {"focus_enabled": True},
+        "gen": {"dim": 64, "mlp_dim": 256, "style_dim": 8,
+                "n_downsample": 2, "n_res": 4},
+        "dis": {"dim": 64, "n_layer": 4, "num_scales": 3},
+        "new_size": 270, "crop_image_height": 256, "crop_image_width": 256,
+    })
+    trainer = CouncilTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.uniform(-1, 1, (batch, 256, 256, 3)).astype(np.float32))
+    z = jnp.asarray(r.randn(4, batch, 8).astype(np.float32)).astype(
+        trainer.dtype)
+    xb = x.astype(trainer.dtype)
+
+    gp = state.params["a2b"]["gen"]
+    dp = state.params["a2b"]["dis"]
+    cp = state.params["a2b"]["cdis"]
+
+    # full step (no donation for repeat timing: copy state each call is not
+    # possible; use the jitted step and re-feed returned state)
+    def full(state):
+        s, m = trainer._jit_step(state, x, x, do_cdis=True)
+        return m
+
+    t_full = timeit(lambda s: trainer._jit_step(s, x, x, do_cdis=True),
+                    state, steps=10)
+
+    fwd = jax.jit(lambda gp, xb, z: trainer._translate_members(gp, xb, z)[0])
+    t_fwd = timeit(fwd, gp, xb, z)
+
+    def gen_fwd_bwd(gp, xb, z):
+        def loss(gp):
+            x_t, mask, _ = trainer._translate_members(gp, xb, z)
+            return jnp.mean(x_t.astype(jnp.float32) ** 2)
+        return jax.grad(loss)(gp)
+
+    t_fwdbwd = timeit(jax.jit(gen_fwd_bwd), gp, xb, z)
+
+    fakes = fwd(gp, xb, z)
+
+    def dis_loss(dp, fakes, real):
+        return trainer._dis_loss_dir(dp, fakes, real)
+
+    t_dis = timeit(jax.jit(lambda dp: jax.grad(
+        lambda p: dis_loss(p, fakes, xb))(dp)), dp)
+
+    from councilx.losses.council import council_dis_loss
+
+    t_cdis = timeit(jax.jit(lambda cp: jax.grad(
+        lambda p: council_dis_loss(trainer._cdis_apply, p, fakes, xb,
+                                   "lsgan", True))(cp)), cp)
+
+    def gen_full_loss(gp):
+        l, _ = trainer._gen_loss_dir(gp, dp, cp, xb, z, state.step)
+        return l
+
+    t_genloss = timeit(jax.jit(lambda gp: jax.grad(gen_full_loss)(gp)), gp)
+
+    print(f"full step            : {t_full*1e3:8.1f} ms "
+          f"({batch / t_full:6.2f} img/s)")
+    print(f"gen fwd (4 members)  : {t_fwd*1e3:8.1f} ms")
+    print(f"gen fwd+bwd          : {t_fwdbwd*1e3:8.1f} ms")
+    print(f"dis update grad      : {t_dis*1e3:8.1f} ms")
+    print(f"council-dis grad     : {t_cdis*1e3:8.1f} ms")
+    print(f"gen full loss grad   : {t_genloss*1e3:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
