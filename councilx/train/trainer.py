@@ -90,6 +90,18 @@ class CouncilTrainer:
         self.gen_tx, self.dis_tx, self.cdis_tx = make_optimizers(cfg)
         self.has_council = self.n > 1 and cfg.council.council_w > 0
 
+        # MUNIT-inherited VGG perceptual loss (vgg_w is 0 in all shipped
+        # council configs); weights are frozen constants in the jit closure
+        self.vgg_params = None
+        if cfg.vgg_w:
+            from councilx.nn.vgg import load_vgg_npz
+            path = cfg.extras.get("vgg_model_path")
+            if not path:
+                raise ValueError(
+                    "vgg_w > 0 requires extras.vgg_model_path (a converted "
+                    "VGG16 .npz; see tools/convert_vgg_pt.py)")
+            self.vgg_params = load_vgg_npz(path)
+
         self._jit_step = jax.jit(self._step, static_argnames=("do_cdis",),
                                  donate_argnums=(0,))
         self._jit_sample = jax.jit(self._sample_members)
@@ -235,6 +247,16 @@ class CouncilTrainer:
                                        - z.astype(jnp.float32))) * self.n
             m["loss_gen_recon_s"] = loss_rs
             total += cfg.recon_s_w * loss_rs
+
+        if cfg.vgg_w and self.vgg_params is not None:
+            from councilx.nn.vgg import compute_vgg_loss
+
+            def member_vgg(x_i):
+                return compute_vgg_loss(self.vgg_params, x_i, x_in)
+
+            loss_vgg = jnp.sum(jax.vmap(member_vgg)(x_t))
+            m["loss_gen_vgg"] = loss_vgg
+            total += cfg.vgg_w * loss_vgg
 
         if cfg.recon_c_w:
             def member_c(p, x_i):
