@@ -53,14 +53,19 @@ def main():
     dp = state.params["a2b"]["dis"]
     cp = state.params["a2b"]["cdis"]
 
-    # full step (no donation for repeat timing: copy state each call is not
-    # possible; use the jitted step and re-feed returned state)
-    def full(state):
-        s, m = trainer._jit_step(state, x, x, do_cdis=True)
-        return m
+    # full step: the jitted step donates its input state, so re-feed the
+    # returned state instead of re-passing the (now-deleted) original
+    def time_full(state, steps=10, warmup=3):
+        for _ in range(warmup):
+            state, m = trainer._jit_step(state, x, x, do_cdis=True)
+        jax.device_get(m)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m = trainer._jit_step(state, x, x, do_cdis=True)
+        jax.device_get(m)
+        return (time.perf_counter() - t0) / steps, state
 
-    t_full = timeit(lambda s: trainer._jit_step(s, x, x, do_cdis=True),
-                    state, steps=10)
+    t_full, state = time_full(state)
 
     fwd = jax.jit(lambda gp, xb, z: trainer._translate_members(gp, xb, z)[0])
     t_fwd = timeit(fwd, gp, xb, z)
