@@ -49,23 +49,11 @@ def main():
         trainer.dtype)
     xb = x.astype(trainer.dtype)
 
-    gp = state.params["a2b"]["gen"]
-    dp = state.params["a2b"]["dis"]
-    cp = state.params["a2b"]["cdis"]
-
-    # full step: the jitted step donates its input state, so re-feed the
-    # returned state instead of re-passing the (now-deleted) original
-    def time_full(state, steps=10, warmup=3):
-        for _ in range(warmup):
-            state, m = trainer._jit_step(state, x, x, do_cdis=True)
-        jax.device_get(m)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, m = trainer._jit_step(state, x, x, do_cdis=True)
-        jax.device_get(m)
-        return (time.perf_counter() - t0) / steps, state
-
-    t_full, state = time_full(state)
+    # copy params out so the donating full-step timing (run LAST) can't
+    # delete the buffers the component probes use
+    gp = jax.tree_util.tree_map(jnp.copy, state.params["a2b"]["gen"])
+    dp = jax.tree_util.tree_map(jnp.copy, state.params["a2b"]["dis"])
+    cp = jax.tree_util.tree_map(jnp.copy, state.params["a2b"]["cdis"])
 
     fwd = jax.jit(lambda gp, xb, z: trainer._translate_members(gp, xb, z)[0])
     t_fwd = timeit(fwd, gp, xb, z)
@@ -97,6 +85,20 @@ def main():
         return l
 
     t_genloss = timeit(jax.jit(lambda gp: jax.grad(gen_full_loss)(gp)), gp)
+
+    # full step LAST: the jitted step donates its input state each call, so
+    # re-feed the returned state
+    def time_full(state, steps=10, warmup=3):
+        for _ in range(warmup):
+            state, m = trainer._jit_step(state, x, x, do_cdis=True)
+        jax.device_get(m)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m = trainer._jit_step(state, x, x, do_cdis=True)
+        jax.device_get(m)
+        return (time.perf_counter() - t0) / steps, state
+
+    t_full, state = time_full(state)
 
     print(f"full step            : {t_full*1e3:8.1f} ms "
           f"({batch / t_full:6.2f} img/s)")
