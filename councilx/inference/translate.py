@@ -28,6 +28,8 @@ class Translator:
     """
 
     def __init__(self, cfg: Config):
+        from councilx.ops import runtime_flags
+        runtime_flags.set_use_pallas(cfg.use_pallas and not cfg.parity_mode)
         self.cfg = cfg
         g = cfg.gen
         self.focus = cfg.council.focus_enabled

@@ -317,8 +317,14 @@ class Conv2dBlock(nn.Module):
                 bias_init=nn.initializers.zeros,
                 dtype=self.dtype, param_dtype=jnp.float32, name="Conv_0")(x)
 
+        from councilx.ops import runtime_flags
+
         if self.norm == "in":
-            y = instance_norm(y.astype(jnp.float32)).astype(self.dtype)
+            if runtime_flags.use_pallas():
+                from councilx.ops.pallas_norm import instance_norm_pallas
+                y = instance_norm_pallas(y)
+            else:
+                y = instance_norm(y.astype(jnp.float32)).astype(self.dtype)
         elif self.norm == "ln":
             y = MunitLayerNorm(num_features=self.out_dim, dtype=self.dtype)(y)
         elif self.norm == "bn":
@@ -329,9 +335,14 @@ class Conv2dBlock(nn.Module):
             if adain_params is None:
                 raise ValueError("adain norm requires adain_params")
             gamma, beta = adain_params
-            y = adain(y.astype(jnp.float32),
-                      gamma.astype(jnp.float32),
-                      beta.astype(jnp.float32)).astype(self.dtype)
+            if runtime_flags.use_pallas():
+                from councilx.ops.pallas_norm import instance_norm_pallas
+                y = instance_norm_pallas(y, gamma.astype(jnp.float32),
+                                         beta.astype(jnp.float32))
+            else:
+                y = adain(y.astype(jnp.float32),
+                          gamma.astype(jnp.float32),
+                          beta.astype(jnp.float32)).astype(self.dtype)
         elif self.norm in ("none", "sn"):
             pass
         else:

@@ -59,6 +59,8 @@ class CouncilTrainer:
     """
 
     def __init__(self, cfg: Config):
+        from councilx.ops import runtime_flags
+        runtime_flags.set_use_pallas(cfg.use_pallas and not cfg.parity_mode)
         self.cfg = cfg
         self.n = cfg.council.council_size
         self.directions = [d for d, on in (("a2b", cfg.do_a2b),
@@ -221,10 +223,13 @@ class CouncilTrainer:
         # MUNIT-inherited reconstruction terms (config-gated; reference keeps
         # recon_x_w / recon_s_w / recon_c_w in the YAMLs)
         if cfg.recon_x_w:
-            def member_recon(p):
-                c, s = self.gen.apply({"params": p}, x_in,
-                                      method=AdaINGen.encode)
-                out = self.gen.apply({"params": p}, c, s,
+            # reuse the content codes already computed for the translation
+            # (the reference re-runs enc_content here; same value, same
+            # gradient path, one fewer content-encoder pass per member)
+            def member_recon(p, c_i):
+                s = self.gen.apply({"params": p}, x_in,
+                                   method=AdaINGen.encode_style)
+                out = self.gen.apply({"params": p}, c_i, s,
                                      method=AdaINGen.decode)
                 if self.focus:
                     xr, _ = composite_with_mask(out, x_in)
@@ -233,7 +238,7 @@ class CouncilTrainer:
                 return jnp.mean(jnp.abs(xr.astype(jnp.float32)
                                         - x_in.astype(jnp.float32)))
 
-            loss_rx = jnp.sum(jax.vmap(member_recon)(gen_params))
+            loss_rx = jnp.sum(jax.vmap(member_recon)(gen_params, contents))
             m["loss_gen_recon_x"] = loss_rx
             total += cfg.recon_x_w * loss_rx
 
@@ -286,17 +291,24 @@ class CouncilTrainer:
         x_b = x_b.astype(self.dtype)
         inputs = {"a2b": (x_a, x_b), "b2a": (x_b, x_a)}
 
-        rng, k_zd, k_zg = jax.random.split(state.rng, 3)
+        rng, k_z = jax.random.split(state.rng)
         metrics: Dict[str, Any] = {}
+
+        # One style draw per direction per step, shared by the discriminator
+        # fakes AND the generator update (the reference draws fresh z inside
+        # each update method; sharing is the standard GAN pattern — D trains
+        # on exactly the fakes G is then updated on — distributionally
+        # identical, and it lets XLA CSE away one full council forward).
+        zs = {d: jax.random.normal(jax.random.fold_in(k_z, di), (n, b, sd),
+                                   self.dtype)
+              for di, d in enumerate(self.directions)}
 
         # detached fakes shared by both discriminator updates
         fakes: Dict[str, jnp.ndarray] = {}
-        for di, d in enumerate(self.directions):
+        for d in self.directions:
             x_in, _ = inputs[d]
-            z = jax.random.normal(jax.random.fold_in(k_zd, di), (n, b, sd),
-                                  self.dtype)
             x_t, _, _ = self._translate_members(state.params[d]["gen"],
-                                                x_in, z)
+                                                x_in, zs[d])
             fakes[d] = jax.lax.stop_gradient(x_t)
 
         params = {d: dict(state.params[d]) for d in self.directions}
@@ -342,14 +354,12 @@ class CouncilTrainer:
         def gen_loss_fn(tree):
             loss = 0.0
             aux: Dict[str, Any] = {}
-            for di, d in enumerate(self.directions):
+            for d in self.directions:
                 x_in, _ = inputs[d]
-                z = jax.random.normal(jax.random.fold_in(k_zg, di),
-                                      (n, b, sd), self.dtype)
                 ld, md = self._gen_loss_dir(
                     tree[d], jax.lax.stop_gradient(params[d]["dis"]),
                     jax.lax.stop_gradient(params[d]["cdis"]),
-                    x_in, z, state.step)
+                    x_in, zs[d], state.step)
                 loss += ld
                 for k, v in md.items():
                     aux[f"{k}_{d}"] = v
