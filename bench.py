@@ -13,7 +13,9 @@ V100 throughput of 3.0 images/sec for the same configuration (see
 BASELINE.md "Reference throughput estimate") purely to report a ratio; the
 absolute value is the real measurement.
 
-Env overrides: BENCH_BATCH (default 8), BENCH_WARMUP (5), BENCH_STEPS (30).
+Env overrides: BENCH_BATCH (default 8), BENCH_WARMUP (5), BENCH_STEPS (30),
+BENCH_PALLAS (0/1: fused pallas instance-norm kernels), BENCH_REMAT (0/1:
+rematerialize generator forwards — enables larger batches).
 """
 
 import json
@@ -39,6 +41,8 @@ def main():
     cfg = Config.from_dict({
         "batch_size": batch,
         "compute_dtype": "bfloat16",
+        "use_pallas": bool(int(os.environ.get("BENCH_PALLAS", "0"))),
+        "remat": bool(int(os.environ.get("BENCH_REMAT", "0"))),
         "council": {"council_size": 4, "council_w": 0.2,
                     "council_start_at_iter": 0},
         "focus_loss": {"focus_enabled": True},

@@ -201,6 +201,10 @@ class Config:
     fuse_upsample: bool = True
     # data-parallel mesh axis size (1 = single chip); see parallel/mesh.py
     num_devices: int = 1
+    # rematerialize per-member generator forwards in the backward pass
+    # (jax.checkpoint): ~1/3 more gen FLOPs for a large activation-memory
+    # cut — enables bigger per-chip batches at 256px
+    remat: bool = False
 
     # unknown YAML keys, preserved verbatim
     extras: Dict[str, Any] = field(default_factory=dict)

@@ -159,6 +159,8 @@ class CouncilTrainer:
                                  method=AdaINGen.decode)
             return out, c
 
+        if self.cfg.remat:
+            one = jax.checkpoint(one)
         outs, contents = jax.vmap(one)(gen_params, z)
         if self.focus:
             x_t, mask = composite_with_mask(outs, x)
@@ -238,6 +240,8 @@ class CouncilTrainer:
                 return jnp.mean(jnp.abs(xr.astype(jnp.float32)
                                         - x_in.astype(jnp.float32)))
 
+            if cfg.remat:
+                member_recon = jax.checkpoint(member_recon)
             loss_rx = jnp.sum(jax.vmap(member_recon)(gen_params, contents))
             m["loss_gen_recon_x"] = loss_rx
             total += cfg.recon_x_w * loss_rx

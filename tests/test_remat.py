@@ -1,0 +1,34 @@
+"""Remat (jax.checkpoint) must not change step numerics, only memory."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from councilx.config import Config
+from councilx.train.trainer import CouncilTrainer
+
+_RAW = {
+    "batch_size": 2, "compute_dtype": "float32",
+    "council": {"council_size": 2, "council_w": 0.2,
+                "council_start_at_iter": 0},
+    "focus_loss": {"focus_enabled": True},
+    "gen": {"dim": 4, "mlp_dim": 8, "style_dim": 2,
+            "n_downsample": 2, "n_res": 1},
+    "dis": {"dim": 4, "n_layer": 2, "num_scales": 2},
+    "new_size": 20, "crop_image_height": 16, "crop_image_width": 16,
+}
+
+
+def test_remat_step_matches_plain():
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32))
+    metrics = {}
+    for remat in (False, True):
+        raw = dict(_RAW, remat=remat)
+        tr = CouncilTrainer(Config.from_dict(raw))
+        st = tr.init_state(jax.random.PRNGKey(0))
+        st, m = tr.train_step(st, x, x)
+        st, m = tr.train_step(st, x, x)  # second step: grads flowed equally
+        metrics[remat] = {k: float(v) for k, v in m.items()}
+    for k, v in metrics[False].items():
+        assert abs(v - metrics[True][k]) < 1e-4, (k, v, metrics[True][k])
