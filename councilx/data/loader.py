@@ -17,7 +17,8 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 
 from councilx.config import Config
-from councilx.data.dataset import ImageFolderDataset, SyntheticImageDataset
+from councilx.data.dataset import (ImageFilelistDataset, ImageFolderDataset,
+                                   SyntheticImageDataset)
 
 
 class DataLoader:
@@ -125,8 +126,20 @@ def get_all_data_loaders(cfg: Config, synthetic: bool = False,
             ds = SyntheticImageDataset(synthetic_size, d.new_size,
                                        seed=hash(split) % (2 ** 31))
         else:
-            ds = ImageFolderDataset(os.path.join(d.data_root, split),
-                                    new_size=d.new_size)
+            # reference get_all_data_loaders supports both folder configs
+            # (data_root + trainA/...) and filelist configs
+            # (data_list_train_a: path-to-list). Keys live in cfg.extras.
+            list_key = {"trainA": "data_list_train_a",
+                        "trainB": "data_list_train_b",
+                        "testA": "data_list_test_a",
+                        "testB": "data_list_test_b"}[split]
+            flist = cfg.extras.get(list_key)
+            if flist:
+                ds = ImageFilelistDataset(d.data_root, flist,
+                                          new_size=d.new_size)
+            else:
+                ds = ImageFolderDataset(os.path.join(d.data_root, split),
+                                        new_size=d.new_size)
         return DataLoader(ds, cfg.batch_size, shuffle=train,
                           num_workers=d.num_workers, infinite=train,
                           seed=0 if train else 1)

@@ -28,17 +28,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 4 * 1024 * 1024  # bytes for the x tile (fp32)
+_VMEM_BUDGET = 4 * 1024 * 1024  # bytes for the x tile (fp32 accounting)
 
 
-def _pick_cb(hw: int, c: int) -> int:
-    """Largest channel block that divides c, <=128 lanes, fits the budget."""
-    limit = max(1, _VMEM_BUDGET // (hw * 4))
-    cb = 1
-    for cand in (8, 16, 32, 64, 128):
-        if c % cand == 0 and cand <= limit:
-            cb = cand
-    return cb if c % cb == 0 else 1
+def _pick_cb(hw: int, c: int) -> Optional[int]:
+    """Channel block satisfying the Mosaic TPU tiling rule (last block dim a
+    multiple of 128 OR the whole channel dim) within the VMEM budget.
+
+    Returns None when no valid block fits — callers fall back to the XLA
+    path (this is the case for very large HW with small C, e.g. the 256x256
+    64-channel first encoder layer)."""
+    cands = [m for m in (512, 384, 256, 128) if c % m == 0]
+    cands.append(c)  # whole-dim block is always legal
+    valid = [cb for cb in cands if hw * cb * 4 <= _VMEM_BUDGET]
+    return max(valid) if valid else None
 
 
 # ---------------------------------------------------------------------------
@@ -76,6 +79,7 @@ def _run_fwd(x4: jnp.ndarray, gamma: Optional[jnp.ndarray],
     """x4: (B, HW, C) -> (y, mean (B,1,C), rstd (B,1,C))."""
     bsz, hw, c = x4.shape
     cb = _pick_cb(hw, c)
+    assert cb is not None  # dispatcher falls back before reaching here
     grid = (bsz, c // cb)
     x_spec = pl.BlockSpec((1, hw, cb), lambda i, j: (i, 0, j),
                           memory_space=pltpu.VMEM)
@@ -140,6 +144,7 @@ def _bwd_affine_kernel(dy_ref, x_ref, mean_ref, rstd_ref, g_ref,
 def _run_bwd(dy4, x4, mean, rstd, gamma):
     bsz, hw, c = x4.shape
     cb = _pick_cb(hw, c)
+    assert cb is not None
     grid = (bsz, c // cb)
     x_spec = pl.BlockSpec((1, hw, cb), lambda i, j: (i, 0, j),
                           memory_space=pltpu.VMEM)
@@ -201,8 +206,18 @@ def instance_norm_pallas(x: jnp.ndarray,
 
     Drop-in for blocks.instance_norm / blocks.adain (same numerics)."""
     b, h, w, c = x.shape
-    x4 = x.reshape(b, h * w, c)
     if (gamma is None) != (beta is None):
         raise ValueError("gamma and beta must be given together")
+    if _pick_cb(h * w, c) is None:
+        # no legal VMEM tile for this (HW, C) — XLA path, same numerics
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
+        var = jnp.var(x32, axis=(-3, -2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        if gamma is not None:
+            y = (y * gamma.astype(jnp.float32)[:, None, None, :]
+                 + beta.astype(jnp.float32)[:, None, None, :])
+        return y.astype(x.dtype)
+    x4 = x.reshape(b, h * w, c)
     y = _in_core(x4, gamma, beta, eps)
     return y.reshape(b, h, w, c)
