@@ -18,7 +18,7 @@ pressure, and the choice is isolated in these two functions.
 
 from __future__ import annotations
 
-from typing import Callable, List
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,22 +55,36 @@ def make_pairs(x_fakes: jnp.ndarray, x_in: jnp.ndarray,
     return jnp.concatenate([x_fakes, x_rep], axis=-1)
 
 
+def _pair_mask(n_dis: int, n_out: int, dis_offset: int, out_offset: int
+               ) -> jnp.ndarray:
+    """[j, i] indicator of j_global == i_global for (possibly shard-local)
+    discriminator rows j and output columns i."""
+    j = jnp.arange(n_dis, dtype=jnp.int32) + dis_offset
+    i = jnp.arange(n_out, dtype=jnp.int32) + out_offset
+    return (j[:, None] == i[None, :]).astype(jnp.float32)
+
+
 def council_gen_loss(cdis_apply: Callable, cdis_params,
                      x_fakes: jnp.ndarray, x_in: jnp.ndarray,
                      gan_type: str = "lsgan",
-                     conditional: bool = True) -> jnp.ndarray:
+                     conditional: bool = True,
+                     dis_offset: int = 0,
+                     out_offset: int = 0) -> jnp.ndarray:
     """Generator-side agreement loss.
 
     Sum over ordered pairs (i, j≠i) of the per-pair generator GAN loss of
     D̂_j on member i's output — matching the reference's double loop, with
     means taken over batch and patch dims per pair.
+
+    ``dis_offset``/``out_offset``: global member indices of the first
+    discriminator / first output row, for shard-local evaluation under
+    member parallelism (parallel/council_shard.py); the diagonal (own-pair)
+    exclusion is computed on GLOBAL indices.
     """
-    n = x_fakes.shape[0]
-    if n < 2:
-        return jnp.float32(0.0)
     pairs = make_pairs(x_fakes, x_in, conditional)
     grids = _pair_grid_logits(cdis_apply, cdis_params, pairs)
-    off_diag = 1.0 - jnp.eye(n, dtype=jnp.float32)  # [j, i] mask
+    n_dis, n_out = grids[0].shape[0], x_fakes.shape[0]
+    off_diag = 1.0 - _pair_mask(n_dis, n_out, dis_offset, out_offset)
     loss = 0.0
     for g in grids:  # (N_dis=j, N_out=i, B, h, w, 1)
         g = g.astype(jnp.float32)
@@ -87,20 +101,26 @@ def council_gen_loss(cdis_apply: Callable, cdis_params,
 def council_dis_loss(cdis_apply: Callable, cdis_params,
                      x_fakes: jnp.ndarray, x_in: jnp.ndarray,
                      gan_type: str = "lsgan",
-                     conditional: bool = True) -> jnp.ndarray:
+                     conditional: bool = True,
+                     dis_offset: int = 0,
+                     n_total: Optional[int] = None) -> jnp.ndarray:
     """Council-discriminator loss (reference dis_council_update).
 
     D̂_i's real class = member i's own (output ‖ input) pairs (diagonal of
     the grid); fake class = the other members' pairs (off-diagonal row),
     averaged over the N−1 fakes so real and fake terms are balanced.
     Caller must stop_gradient the fakes.
+
+    ``dis_offset``: global index of the first local discriminator (member
+    parallelism); ``x_fakes`` always carries ALL members' outputs.
     """
-    n = x_fakes.shape[0]
+    n = n_total if n_total is not None else x_fakes.shape[0]
     if n < 2:
         return jnp.float32(0.0)
     pairs = make_pairs(x_fakes, x_in, conditional)
     grids = _pair_grid_logits(cdis_apply, cdis_params, pairs)
-    eye = jnp.eye(n, dtype=jnp.float32)
+    n_dis, n_out = grids[0].shape[0], x_fakes.shape[0]
+    eye = _pair_mask(n_dis, n_out, dis_offset, 0)
     off_diag = 1.0 - eye
     loss = 0.0
     for g in grids:

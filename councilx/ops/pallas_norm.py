@@ -28,7 +28,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 4 * 1024 * 1024  # bytes for the x tile (fp32 accounting)
+# Budget on the fp32 footprint of ONE (HW, Cb) tile. The backward kernel
+# holds ~5 such f32 temporaries plus double-buffered ins/outs, so 2 MB here
+# keeps the scoped-VMEM stack under the 16 MB limit with headroom.
+_VMEM_BUDGET = 2 * 1024 * 1024
 
 
 def _pick_cb(hw: int, c: int) -> Optional[int]:
@@ -36,9 +39,10 @@ def _pick_cb(hw: int, c: int) -> Optional[int]:
     multiple of 128 OR the whole channel dim) within the VMEM budget.
 
     Returns None when no valid block fits — callers fall back to the XLA
-    path (this is the case for very large HW with small C, e.g. the 256x256
-    64-channel first encoder layer)."""
-    cands = [m for m in (512, 384, 256, 128) if c % m == 0]
+    path (the case for large-HW layers, e.g. 256x256x64 or 128x128x128
+    activations; the kernel's sweet spot is the 64x64x256 resblock stack,
+    the most frequent instance-norm site in the network)."""
+    cands = [128] if c % 128 == 0 else []
     cands.append(c)  # whole-dim block is always legal
     valid = [cb for cb in cands if hw * cb * 4 <= _VMEM_BUDGET]
     return max(valid) if valid else None

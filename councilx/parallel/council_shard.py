@@ -1,0 +1,239 @@
+"""Member (council) parallelism via shard_map + explicit ICI collectives.
+
+GSPMD cannot auto-partition the vmapped member axis: stacked-parameter convs
+lower to grouped convolutions whose per-group feature counts (1-4 channels)
+are unsplittable. So member parallelism is written the explicit TPU way —
+``shard_map`` over a 2-D ``('data', 'council')`` mesh with hand-placed
+collectives, all riding ICI:
+
+  * every parameter / Adam-moment leaf is (N, ...) member-stacked (the
+    framework's core design) and shards over 'council';
+  * the batch shards over 'data';
+  * each shard trains its own members' generator/discriminators locally —
+    the per-member losses are separable, so shard-local losses give exactly
+    the global gradients for the local parameter shards;
+  * two collectives couple the members: an ``all_gather`` of the fake stack
+    over 'council' for the council-discriminator update (D̂_i must see every
+    member's output), and an ``all_gather`` of the (stop-gradient) council-
+    discriminator parameters for the generator's mutual-agreement term
+    (member i is scored by every OTHER member's D̂_j);
+  * batch-mean losses become ``pmean`` over 'data' (the DP all-reduce).
+
+Step math is identical to single-chip training at the same global batch and
+seeds — asserted by tests/test_council_shard.py on the 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from councilx.config import Config
+from councilx.losses.council import council_dis_loss
+from councilx.train.trainer import CouncilTrainer, TrainState
+
+
+class CouncilShardTrainer(CouncilTrainer):
+    """CouncilTrainer with members sharded over the mesh's 'council' axis."""
+
+    def __init__(self, cfg: Config, mesh: Mesh):
+        if tuple(mesh.axis_names) != ("data", "council"):
+            raise ValueError("CouncilShardTrainer needs a ('data','council') "
+                             "mesh (parallel.mesh.make_mesh(council_parallel=k))")
+        super().__init__(cfg)
+        self.mesh = mesh
+        self.k = mesh.shape["council"]
+        if self.n % self.k:
+            raise ValueError(f"council_size {self.n} not divisible by "
+                             f"council axis {self.k}")
+        self.m = self.n // self.k
+        self._replicated = NamedSharding(mesh, P())
+        self._state_sharding = None
+        self._jit_steps: Dict[bool, Any] = {}
+
+    # -- sharding specs ------------------------------------------------
+
+    def _leaf_spec(self, leaf) -> P:
+        # member-stacked leaves are (N, ...) with ndim >= 2; rng/step/opt
+        # counters replicate even if a dim equals N
+        if getattr(leaf, "ndim", 0) >= 2 and leaf.shape[0] == self.n:
+            return P("council")
+        return P()
+
+    def _build(self, state: TrainState) -> None:
+        specs = jax.tree_util.tree_map(self._leaf_spec, state)
+        self._state_sharding = jax.tree_util.tree_map(
+            lambda s: NamedSharding(self.mesh, s), specs)
+        for do_cdis in (False, True):
+            fn = shard_map(
+                functools.partial(self._step_local, do_cdis=do_cdis),
+                mesh=self.mesh,
+                in_specs=(specs, P("data"), P("data")),
+                out_specs=(specs, P()),
+                check_vma=False,
+            )
+            self._jit_steps[do_cdis] = jax.jit(fn, donate_argnums=(0,))
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        state = super().init_state(rng)
+        if self._state_sharding is None:
+            self._build(state)
+        return jax.device_put(state, self._state_sharding)
+
+    # -- the shard-local step -------------------------------------------
+
+    def _step_local(self, state: TrainState, x_a, x_b, do_cdis: bool):
+        cfg = self.cfg
+        n, m, sd = self.n, self.m, cfg.gen.style_dim
+        b_local = x_a.shape[0]
+        b_global = b_local * jax.lax.axis_size("data")
+        c_idx = jax.lax.axis_index("council")
+        d_idx = jax.lax.axis_index("data")
+        off = c_idx * m
+
+        x_a = x_a.astype(self.dtype)
+        x_b = x_b.astype(self.dtype)
+        inputs = {"a2b": (x_a, x_b), "b2a": (x_b, x_a)}
+
+        rng, k_z = jax.random.split(state.rng)
+        metrics: Dict[str, Any] = {}
+
+        # reproduce the single-chip z stream exactly: build the global
+        # (N, B_global, sd) draw (cheap) and slice this shard's
+        # (members, batch) block
+        zs: Dict[str, jnp.ndarray] = {}
+        for di, d in enumerate(self.directions):
+            z_full = jax.random.normal(jax.random.fold_in(k_z, di),
+                                       (n, b_global, sd), self.dtype)
+            zs[d] = jax.lax.dynamic_slice(
+                z_full, (off, d_idx * b_local, 0), (m, b_local, sd))
+
+        # local fakes + the all-gathered member stack (ICI collective #1)
+        fakes_l: Dict[str, jnp.ndarray] = {}
+        fakes_all: Dict[str, jnp.ndarray] = {}
+        for d in self.directions:
+            x_in, _ = inputs[d]
+            x_t, _, _ = self._translate_members(state.params[d]["gen"],
+                                                x_in, zs[d])
+            fakes_l[d] = jax.lax.stop_gradient(x_t)
+            fakes_all[d] = jax.lax.all_gather(fakes_l[d], "council",
+                                              axis=0, tiled=True)
+
+        params = {d: dict(state.params[d]) for d in self.directions}
+
+        # ---- phase 1: council discriminators (local D-hat members see the
+        # full gathered fake stack; diagonal masks use global indices)
+        opt_cdis = state.opt_cdis
+        if do_cdis and self.has_council:
+            def cdis_loss_fn(tree):
+                loss = 0.0
+                for d in self.directions:
+                    loss += council_dis_loss(
+                        self._cdis_apply, tree[d], fakes_all[d],
+                        inputs[d][0], self.gan_type, self.conditional,
+                        dis_offset=off, n_total=n)
+                return jax.lax.pmean(loss, "data")
+
+            tree = {d: params[d]["cdis"] for d in self.directions}
+            loss_cdis, grads = jax.value_and_grad(cdis_loss_fn)(tree)
+            updates, opt_cdis = self.cdis_tx.update(grads, state.opt_cdis,
+                                                    tree)
+            new_tree = optax.apply_updates(tree, updates)
+            for d in self.directions:
+                params[d]["cdis"] = new_tree[d]
+            metrics["loss_dis_council"] = jax.lax.psum(loss_cdis, "council")
+
+        # ---- phase 2: domain discriminators (fully member-local)
+        def dis_loss_fn(tree):
+            loss = 0.0
+            for d in self.directions:
+                _, real = inputs[d]
+                loss += self._dis_loss_dir(tree[d], fakes_l[d], real)
+            return jax.lax.pmean(loss, "data")
+
+        tree = {d: params[d]["dis"] for d in self.directions}
+        loss_dis, grads = jax.value_and_grad(dis_loss_fn)(tree)
+        updates, opt_dis = self.dis_tx.update(grads, state.opt_dis, tree)
+        new_tree = optax.apply_updates(tree, updates)
+        for d in self.directions:
+            params[d]["dis"] = new_tree[d]
+        metrics["loss_dis_adv"] = jax.lax.psum(loss_dis, "council")
+
+        # ---- phase 3: generators. The agreement term scores local members
+        # under EVERY member's (freshly updated) council discriminator ->
+        # gather the stop-gradient D-hat params over ICI (collective #2).
+        cdis_all = {
+            d: jax.tree_util.tree_map(
+                lambda l: jax.lax.all_gather(l, "council", axis=0,
+                                             tiled=True),
+                jax.lax.stop_gradient(params[d]["cdis"]))
+            for d in self.directions}
+
+        def gen_loss_fn(tree):
+            loss = 0.0
+            aux: Dict[str, Any] = {}
+            for d in self.directions:
+                x_in, _ = inputs[d]
+                ld, md = self._gen_loss_dir(
+                    tree[d], jax.lax.stop_gradient(params[d]["dis"]),
+                    cdis_all[d], x_in, zs[d], state.step,
+                    out_offset=off, member_scale=m / n)
+                loss += ld
+                for k, v in md.items():
+                    aux[f"{k}_{d}"] = v
+            return jax.lax.pmean(loss, "data"), aux
+
+        tree = {d: params[d]["gen"] for d in self.directions}
+        (loss_gen, aux), grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(tree)
+        updates, opt_gen = self.gen_tx.update(grads, state.opt_gen, tree)
+        new_tree = optax.apply_updates(tree, updates)
+        for d in self.directions:
+            params[d]["gen"] = new_tree[d]
+        metrics["loss_gen_total"] = jax.lax.psum(loss_gen, "council")
+        for k, v in aux.items():
+            metrics[k] = jax.lax.psum(jax.lax.pmean(v, "data"), "council")
+
+        new_state = TrainState(
+            step=state.step + 1, rng=rng, params=params,
+            opt_gen=opt_gen, opt_dis=opt_dis, opt_cdis=opt_cdis)
+        return new_state, metrics
+
+    # -- public API -------------------------------------------------------
+
+    def train_step(self, state: TrainState, x_a, x_b
+                   ) -> Tuple[TrainState, Dict]:
+        n_data = self.mesh.shape["data"]
+        if x_a.shape[0] % n_data:
+            raise ValueError(f"global batch {x_a.shape[0]} not divisible by "
+                             f"data-axis size {n_data}")
+        if self._state_sharding is None:
+            self._build(state)
+        x_a = jax.device_put(x_a, NamedSharding(self.mesh, P("data")))
+        x_b = jax.device_put(x_b, NamedSharding(self.mesh, P("data")))
+        ratio = max(1, self.cfg.council.council_dis_relative_iteration)
+        do_cdis = True if ratio == 1 else bool(
+            int(jax.device_get(state.step)) % ratio == 0)
+        with self.mesh:
+            return self._jit_steps[do_cdis](state, x_a, x_b)
+
+    def sample(self, state: TrainState, x, direction: str = "a2b",
+               rng=None):
+        """Gather the member-sharded generator params, then sample as usual
+        (sampling is rare; a one-off all-gather is fine)."""
+        full = jax.device_get(state.params[direction]["gen"])
+        if rng is None:
+            rng = jax.random.fold_in(jax.device_get(state.rng), 7)
+        z = jax.random.normal(rng, (self.n, x.shape[0],
+                                    self.cfg.gen.style_dim), self.dtype)
+        return self._jit_sample(full, x.astype(self.dtype), z)

@@ -1,19 +1,28 @@
-"""Data-parallel training over a device mesh (pjit/GSPMD).
+"""Distributed training over a device mesh (pjit/GSPMD): data parallelism,
+optionally combined with council-member parallelism.
 
 The reference has NO distributed story (SURVEY.md §2 parallelism audit); this
-module adds it the TPU way: a 1-D ``Mesh(('data',))``, parameters + optimizer
-state replicated, the global batch sharded over the 'data' axis, and XLA's
-GSPMD partitioner inserting the gradient all-reduces over ICI — no explicit
-collectives in user code, no NCCL-style process groups. The per-step
-semantics are identical to single-chip training at the same GLOBAL batch
-(loss means are over the global batch), so scaling out changes only
-wall-clock, not math — verified by tests/test_parallel.py on the 8-device
-CPU mesh.
+module adds it the TPU way — no explicit collectives in user code, no
+NCCL-style process groups:
 
-Council-axis sharding (mesh ('data', 'council')) is a planned extension for
-councils larger than a chip's memory; with N<=4 members and these model
-sizes, replication + batch DP is the right layout (params are ~100 MB total,
-HBM is the constraint on activations, which DP already shards).
+* **Data axis**: the global batch shards over ``'data'``; parameters and
+  optimizer state replicate along it; GSPMD inserts the gradient
+  all-reduces over ICI. Per-step semantics are identical to single-chip
+  training at the same GLOBAL batch (loss means are over the global batch)
+  — verified by tests/test_parallel.py on the 8-device CPU mesh.
+
+* **Council axis** (optional, ``council_parallel > 1``): every parameter and
+  optimizer-state leaf carries a leading member axis (N, ...) — the
+  framework's core design — so member parallelism is just sharding that
+  axis over ``'council'``. The vmapped per-member forwards partition
+  cleanly; the O(N^2) pairwise mutual-agreement loss makes GSPMD insert an
+  all-gather of the (N, B, H, W, C) fake stack over ICI, which is tiny next
+  to the per-member compute. This is the model-parallel analogue for this
+  architecture (there is no attention/tensor dimension worth splitting —
+  members ARE the model axis).
+
+Semantics are unchanged by either axis; only wall-clock and per-chip memory
+move. Verified against single-device training in tests/test_parallel.py.
 """
 
 from __future__ import annotations
@@ -28,16 +37,27 @@ from councilx.config import Config
 from councilx.train.trainer import CouncilTrainer, TrainState
 
 
-def make_mesh(n_devices: Optional[int] = None,
-              devices=None) -> Mesh:
-    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+def make_mesh(n_devices: Optional[int] = None, devices=None,
+              council_parallel: int = 1) -> Mesh:
+    """Mesh over the first ``n_devices`` devices.
+
+    council_parallel=1 -> 1-D ('data',) mesh; k>1 -> 2-D ('data','council')
+    mesh with the council axis of size k."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(f"need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), axis_names=("data",))
+    devices = np.asarray(devices)
+    if council_parallel <= 1:
+        return Mesh(devices, axis_names=("data",))
+    if devices.size % council_parallel:
+        raise ValueError(f"{devices.size} devices not divisible by "
+                         f"council_parallel={council_parallel}")
+    grid = devices.reshape(devices.size // council_parallel,
+                           council_parallel)
+    return Mesh(grid, axis_names=("data", "council"))
 
 
 def shard_batch(mesh: Mesh, batch) -> jax.Array:
@@ -48,12 +68,22 @@ def shard_batch(mesh: Mesh, batch) -> jax.Array:
 class DataParallelTrainer(CouncilTrainer):
     """CouncilTrainer with the fused step pjit-sharded over a mesh.
 
-    Inputs x_a/x_b are global batches sharded on axis 0; TrainState is
-    replicated. Everything else — including the vmapped council axis and the
-    batched pairwise council loss — partitions automatically under GSPMD.
+    Inputs x_a/x_b are global batches sharded on axis 0. With a 1-D mesh the
+    TrainState replicates; with a 2-D ('data','council') mesh, every state
+    leaf whose leading dimension equals council_size shards over 'council'
+    (params and the matching Adam moments), scalars/counters replicate.
     """
 
     def __init__(self, cfg: Config, mesh: Mesh):
+        if "council" in mesh.axis_names:
+            # GSPMD cannot auto-partition the vmapped member axis (it
+            # lowers to grouped convolutions whose small per-group feature
+            # counts are unsplittable); member parallelism is the explicit
+            # shard_map trainer instead.
+            raise ValueError(
+                "DataParallelTrainer takes a 1-D ('data',) mesh; for a "
+                "('data','council') mesh use "
+                "councilx.parallel.council_shard.CouncilShardTrainer")
         super().__init__(cfg)
         self.mesh = mesh
         replicated = NamedSharding(mesh, P())
@@ -74,11 +104,11 @@ class DataParallelTrainer(CouncilTrainer):
 
     def train_step(self, state: TrainState, x_a, x_b
                    ) -> Tuple[TrainState, dict]:
-        n_dev = self.mesh.devices.size
+        n_dev = self.mesh.shape["data"]
         if x_a.shape[0] % n_dev:
             raise ValueError(
-                f"global batch {x_a.shape[0]} not divisible by mesh size "
-                f"{n_dev}")
+                f"global batch {x_a.shape[0]} not divisible by data-axis "
+                f"size {n_dev}")
         x_a = shard_batch(self.mesh, x_a)
         x_b = shard_batch(self.mesh, x_b)
         ratio = max(1, self.cfg.council.council_dis_relative_iteration)

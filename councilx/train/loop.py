@@ -100,6 +100,18 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
             write_html(os.path.join(run_dir, "index.html"), image_dir, step,
                        cfg.image_save_iter)
 
+        # reference train.py: a rolling "current" sheet every
+        # image_display_iter (overwritten in place, not archived)
+        if cfg.image_display_iter and step % cfg.image_display_iter == 0:
+            x = augment_batch(jax.random.PRNGKey(0), jnp.asarray(disp_a),
+                              crop_h, crop_w, train=False)
+            x_t, mask = trainer.sample(state, x,
+                                       direction=trainer.directions[0])
+            write_sample_sheet(
+                image_dir, "current",
+                np.asarray(x), np.asarray(x_t),
+                np.asarray(mask) if mask is not None else None)
+
         if cfg.snapshot_save_iter and step % cfg.snapshot_save_iter == 0:
             save_checkpoint(ckpt_dir, state, step)
 

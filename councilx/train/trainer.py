@@ -185,7 +185,17 @@ class CouncilTrainer:
         return jnp.sum(jax.vmap(member, in_axes=(0, 0))(dis_params, fakes))
 
     def _gen_loss_dir(self, gen_params, dis_params, cdis_params,
-                      x_in, z, step) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+                      x_in, z, step, out_offset: int = 0,
+                      member_scale: float = 1.0
+                      ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        """Generator loss for the members in ``gen_params``.
+
+        ``out_offset``/``member_scale`` support shard-local evaluation under
+        member parallelism: gen_params may hold only a contiguous slice of
+        the council starting at global index ``out_offset``, with
+        ``member_scale = local/total`` rescaling the mean-over-members mask
+        losses so that shard-local sums reproduce the global loss.
+        """
         cfg = self.cfg
         cc = cfg.council
         x_t, mask, contents = self._translate_members(gen_params, x_in, z)
@@ -203,22 +213,24 @@ class CouncilTrainer:
         # council mutual-agreement (gated by council_start_at_iter)
         if self.has_council:
             loss_c = council_gen_loss(self._cdis_apply, cdis_params, x_t,
-                                      x_in, self.gan_type, self.conditional)
+                                      x_in, self.gan_type, self.conditional,
+                                      out_offset=out_offset)
             gate = (step >= cc.council_start_at_iter).astype(jnp.float32)
             m["loss_gen_council"] = loss_c
             total += cc.council_w * gate * loss_c
 
-        # focus-mask losses
+        # focus-mask losses (mean over members -> rescaled by member_scale
+        # so shard-local sums equal the global mean)
         if self.focus:
             gate_f = (step >= cc.focus_start_at_iter).astype(jnp.float32)
-            ls = mask_size_loss(mask)
-            lb = mask_binary_loss(mask)
+            ls = mask_size_loss(mask) * member_scale
+            lb = mask_binary_loss(mask) * member_scale
             m["loss_gen_mask_size"] = ls
             m["loss_gen_mask_binary"] = lb
             total += gate_f * (cc.mask_total_w * ls
                                + cc.mask_zero_or_one_w * lb)
             if cc.mask_tv_w:
-                lt = mask_tv_loss(mask)
+                lt = mask_tv_loss(mask) * member_scale
                 m["loss_gen_mask_tv"] = lt
                 total += gate_f * cc.mask_tv_w * lt
 
@@ -252,8 +264,12 @@ class CouncilTrainer:
                                       method=AdaINGen.encode_style)
 
             s_rec = jax.vmap(member_s)(gen_params, x_t)
+            # mean over (members, B, s) x member-count == sum over members
+            # of per-member means (x_t.shape[0] = LOCAL member count, so
+            # this stays correct shard-locally)
             loss_rs = jnp.mean(jnp.abs(s_rec.astype(jnp.float32)
-                                       - z.astype(jnp.float32))) * self.n
+                                       - z.astype(jnp.float32))
+                               ) * x_t.shape[0]
             m["loss_gen_recon_s"] = loss_rs
             total += cfg.recon_s_w * loss_rs
 
@@ -276,7 +292,7 @@ class CouncilTrainer:
             loss_rc = jnp.mean(
                 jnp.abs(c_rec.astype(jnp.float32)
                         - jax.lax.stop_gradient(contents).astype(jnp.float32))
-            ) * self.n
+            ) * x_t.shape[0]
             m["loss_gen_recon_c"] = loss_rc
             total += cfg.recon_c_w * loss_rc
 

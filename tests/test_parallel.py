@@ -80,3 +80,4 @@ def test_dp_batch_divisibility_check(mesh8, rng):
     x_a, x_b = synthetic_batch(rng, b=6)
     with pytest.raises(ValueError):
         trainer.train_step(state, x_a, x_b)
+
