@@ -206,15 +206,20 @@ class CouncilTrainer:
         def member_adv(p_dis, x_i):
             return gan_gen_loss(self._dis_apply(p_dis, x_i), self.gan_type)
 
+        if cfg.remat:
+            member_adv = jax.checkpoint(member_adv)
         loss_adv = jnp.sum(jax.vmap(member_adv)(dis_params, x_t))
         m["loss_gen_adv"] = loss_adv
         total = cfg.gan_w * loss_adv
 
         # council mutual-agreement (gated by council_start_at_iter)
         if self.has_council:
-            loss_c = council_gen_loss(self._cdis_apply, cdis_params, x_t,
-                                      x_in, self.gan_type, self.conditional,
-                                      out_offset=out_offset)
+            council_fn = (jax.checkpoint(council_gen_loss,
+                                         static_argnums=(0, 4, 5))
+                          if cfg.remat else council_gen_loss)
+            loss_c = council_fn(self._cdis_apply, cdis_params, x_t,
+                                x_in, self.gan_type, self.conditional,
+                                out_offset=out_offset)
             gate = (step >= cc.council_start_at_iter).astype(jnp.float32)
             m["loss_gen_council"] = loss_c
             total += cc.council_w * gate * loss_c

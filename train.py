@@ -28,7 +28,14 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of steps 10-15")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax NaN checking (SURVEY.md §5.2; slow — "
+                        "debugging only)")
     args = p.parse_args()
+
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     cfg = load_config(args.config)
     run_name = os.path.splitext(os.path.basename(args.config))[0]
