@@ -238,6 +238,13 @@ class Config:
             raise ValueError("at least one of do_a2b / do_b2a must be true")
         if self.compute_dtype not in ("bfloat16", "float32"):
             raise ValueError(f"unsupported compute_dtype: {self.compute_dtype}")
+        if self.recon_x_cyc_w:
+            # cycle consistency is what Council-GAN removes (the paper's
+            # thesis); the key exists for YAML compatibility but must be 0
+            raise ValueError(
+                "recon_x_cyc_w > 0: cycle consistency is intentionally "
+                "unimplemented (Council-GAN replaces it with the council "
+                "agreement loss); set it to 0")
 
     def to_dict(self) -> Dict[str, Any]:
         d = dataclasses.asdict(self)

@@ -24,13 +24,17 @@ import jax
 import jax.numpy as jnp
 
 
-def _pair_grid_logits(cdis_apply: Callable, cdis_params, pairs: jnp.ndarray
-                      ) -> List[jnp.ndarray]:
+def _pair_grid_logits(cdis_apply: Callable, cdis_params, pairs: jnp.ndarray,
+                      scan: bool = False) -> List[jnp.ndarray]:
     """Evaluate every council discriminator on every member's (fake ‖ input)
     pair in one batched pass.
 
     pairs: (N, B, H, W, 2C) — member-i outputs concatenated with the input.
     Returns a per-scale list of logit grids shaped (N_dis, N_out, B, h, w, 1).
+
+    ``scan=True`` loops over discriminators with lax.map + rematerialized
+    backward (one discriminator's activations live at a time) — the
+    low-memory path used when Config.remat is on; numerics identical.
     """
     n, b = pairs.shape[0], pairs.shape[1]
     flat = pairs.reshape((n * b,) + pairs.shape[2:])
@@ -39,6 +43,8 @@ def _pair_grid_logits(cdis_apply: Callable, cdis_params, pairs: jnp.ndarray
         outs = cdis_apply(params_j, flat)
         return [o.reshape((n, b) + o.shape[1:]) for o in outs]
 
+    if scan:
+        return jax.lax.map(jax.checkpoint(per_dis), cdis_params)
     return jax.vmap(per_dis)(cdis_params)
 
 
@@ -69,7 +75,8 @@ def council_gen_loss(cdis_apply: Callable, cdis_params,
                      gan_type: str = "lsgan",
                      conditional: bool = True,
                      dis_offset: int = 0,
-                     out_offset: int = 0) -> jnp.ndarray:
+                     out_offset: int = 0,
+                     scan: bool = False) -> jnp.ndarray:
     """Generator-side agreement loss.
 
     Sum over ordered pairs (i, j≠i) of the per-pair generator GAN loss of
@@ -82,7 +89,7 @@ def council_gen_loss(cdis_apply: Callable, cdis_params,
     exclusion is computed on GLOBAL indices.
     """
     pairs = make_pairs(x_fakes, x_in, conditional)
-    grids = _pair_grid_logits(cdis_apply, cdis_params, pairs)
+    grids = _pair_grid_logits(cdis_apply, cdis_params, pairs, scan=scan)
     n_dis, n_out = grids[0].shape[0], x_fakes.shape[0]
     off_diag = 1.0 - _pair_mask(n_dis, n_out, dis_offset, out_offset)
     loss = 0.0
@@ -103,7 +110,8 @@ def council_dis_loss(cdis_apply: Callable, cdis_params,
                      gan_type: str = "lsgan",
                      conditional: bool = True,
                      dis_offset: int = 0,
-                     n_total: Optional[int] = None) -> jnp.ndarray:
+                     n_total: Optional[int] = None,
+                     scan: bool = False) -> jnp.ndarray:
     """Council-discriminator loss (reference dis_council_update).
 
     D̂_i's real class = member i's own (output ‖ input) pairs (diagonal of
@@ -118,7 +126,7 @@ def council_dis_loss(cdis_apply: Callable, cdis_params,
     if n < 2:
         return jnp.float32(0.0)
     pairs = make_pairs(x_fakes, x_in, conditional)
-    grids = _pair_grid_logits(cdis_apply, cdis_params, pairs)
+    grids = _pair_grid_logits(cdis_apply, cdis_params, pairs, scan=scan)
     n_dis, n_out = grids[0].shape[0], x_fakes.shape[0]
     eye = _pair_mask(n_dis, n_out, dis_offset, 0)
     off_diag = 1.0 - eye

@@ -141,7 +141,7 @@ class CouncilShardTrainer(CouncilTrainer):
                     loss += council_dis_loss(
                         self._cdis_apply, tree[d], fakes_all[d],
                         inputs[d][0], self.gan_type, self.conditional,
-                        dis_offset=off, n_total=n)
+                        dis_offset=off, n_total=n, scan=cfg.remat)
                 return jax.lax.pmean(loss, "data")
 
             tree = {d: params[d]["cdis"] for d in self.directions}

@@ -212,14 +212,13 @@ class CouncilTrainer:
         m["loss_gen_adv"] = loss_adv
         total = cfg.gan_w * loss_adv
 
-        # council mutual-agreement (gated by council_start_at_iter)
+        # council mutual-agreement (gated by council_start_at_iter);
+        # under remat the pairwise grid scans one discriminator at a time
         if self.has_council:
-            council_fn = (jax.checkpoint(council_gen_loss,
-                                         static_argnums=(0, 4, 5))
-                          if cfg.remat else council_gen_loss)
-            loss_c = council_fn(self._cdis_apply, cdis_params, x_t,
-                                x_in, self.gan_type, self.conditional,
-                                out_offset=out_offset)
+            loss_c = council_gen_loss(self._cdis_apply, cdis_params, x_t,
+                                      x_in, self.gan_type, self.conditional,
+                                      out_offset=out_offset,
+                                      scan=cfg.remat)
             gate = (step >= cc.council_start_at_iter).astype(jnp.float32)
             m["loss_gen_council"] = loss_c
             total += cc.council_w * gate * loss_c
@@ -268,6 +267,8 @@ class CouncilTrainer:
                 return self.gen.apply({"params": p}, x_i,
                                       method=AdaINGen.encode_style)
 
+            if cfg.remat:
+                member_s = jax.checkpoint(member_s)
             s_rec = jax.vmap(member_s)(gen_params, x_t)
             # mean over (members, B, s) x member-count == sum over members
             # of per-member means (x_t.shape[0] = LOCAL member count, so
@@ -293,6 +294,8 @@ class CouncilTrainer:
                 return self.gen.apply({"params": p}, x_i,
                                       method=AdaINGen.encode_content)
 
+            if cfg.remat:
+                member_c = jax.checkpoint(member_c)
             c_rec = jax.vmap(member_c)(gen_params, x_t)
             loss_rc = jnp.mean(
                 jnp.abs(c_rec.astype(jnp.float32)
@@ -346,7 +349,8 @@ class CouncilTrainer:
                 for d in self.directions:
                     loss += council_dis_loss(
                         self._cdis_apply, tree[d], fakes[d], inputs[d][0],
-                        self.gan_type, self.conditional)
+                        self.gan_type, self.conditional,
+                        scan=self.cfg.remat)
                 return loss
 
             tree = {d: params[d]["cdis"] for d in self.directions}
