@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""End-to-end functional validation on a synthetic glasses-removal task.
+
+Generates two unpaired domains of smooth random "face-like" images — domain
+A carries a dark horizontal bar ("glasses"), domain B is clean — trains the
+full council (focus mask on) for a few hundred steps, then checks that the
+learned translation removes the bar: pixel change INSIDE the bar band must
+dominate change outside, and the focus mask must concentrate there too.
+
+This exercises the whole algorithm (council agreement + LSGAN + focus) the
+way BASELINE.json configs 2-3 describe, without any dataset download.
+
+    python tools/toy_e2e.py [--steps 600] [--out /tmp/toy]
+Prints one JSON line with the verdict metrics.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+BAR = (26, 38)  # bar rows in the 64px image (scaled to the train size)
+
+
+def _smooth_noise(rng, size, octaves=3):
+    img = np.zeros((size, size, 3), np.float32)
+    for o in range(octaves):
+        s = 4 * (2 ** o)
+        coarse = rng.rand(s, s, 3).astype(np.float32)
+        zoom = size // s
+        img += np.kron(coarse, np.ones((zoom, zoom, 1), np.float32)) / (o + 1)
+    img -= img.min()
+    img /= max(img.max(), 1e-6)
+    return img
+
+
+def make_dataset(root, n_train=256, n_test=32, size=64, seed=0):
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    for split, n in (("trainA", n_train), ("trainB", n_train),
+                     ("testA", n_test), ("testB", n_test)):
+        d = os.path.join(root, split)
+        os.makedirs(d, exist_ok=True)
+        with_bar = split.endswith("A")
+        for i in range(n):
+            img = _smooth_noise(rng, size)
+            if with_bar:
+                img[BAR[0]:BAR[1], 8:-8] *= 0.15  # dark "glasses" bar
+            arr = (img * 255).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, f"{i:05d}.png"))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--out", default="/tmp/toy_e2e")
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--council", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from councilx.config import Config
+    from councilx.data.dataset import ImageFolderDataset
+    from councilx.train.loop import train
+    from councilx.train.trainer import CouncilTrainer
+    from councilx.ckpt.manager import latest_checkpoint, restore_checkpoint
+    from councilx.utils.images import save_image_grid
+
+    data_root = os.path.join(args.out, "data")
+    make_dataset(data_root, size=args.size)
+
+    cfg = Config.from_dict({
+        "batch_size": args.batch, "compute_dtype": "bfloat16",
+        "lr": 1e-4, "log_iter": 50,
+        "image_save_iter": 0, "image_display_iter": 0,
+        "snapshot_save_iter": args.steps,
+        "max_iter": args.steps,
+        "recon_x_w": 10.0, "recon_s_w": 1.0, "recon_c_w": 1.0,
+        "council": {"council_size": args.council, "council_w": 0.2,
+                    "council_start_at_iter": 0},
+        "focus_loss": {"focus_enabled": True, "mask_total_w": 0.05,
+                       "mask_zero_or_one_w": 0.01},
+        "gen": {"dim": 32, "mlp_dim": 128, "style_dim": 8,
+                "n_downsample": 2, "n_res": 2},
+        "dis": {"dim": 32, "n_layer": 3, "num_scales": 2},
+        "new_size": args.size, "crop_image_height": args.size,
+        "crop_image_width": args.size,
+        "data_root": data_root, "num_workers": 4,
+    })
+
+    summary = train(cfg, output_path=args.out, run_name="toy",
+                    max_steps=args.steps)
+
+    # ---- evaluate: translate test-A, measure bar removal + mask focus ----
+    trainer = CouncilTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    ckpt_dir = os.path.join(args.out, "toy", "checkpoints")
+    state, step = restore_checkpoint(ckpt_dir, state)
+
+    ds = ImageFolderDataset(os.path.join(data_root, "testA"),
+                            new_size=args.size)
+    xs = np.stack([ds[i] for i in range(16)])
+    x = jnp.asarray((xs.astype(np.float32) - 127.5) / 127.5)
+    x_t, mask = trainer.sample(state, x, direction="a2b",
+                               rng=jax.random.PRNGKey(1))
+    x_t = np.asarray(jax.device_get(x_t), np.float32)  # (N, B, H, W, 3)
+    mask = np.asarray(jax.device_get(mask), np.float32)
+    x_np = np.asarray(jax.device_get(x), np.float32)
+
+    bar = slice(BAR[0] * args.size // 64, BAR[1] * args.size // 64)
+    diff = np.abs(x_t - x_np[None]).mean(axis=(0, 1, 4))  # (H, W)
+    change_in = float(diff[bar, 8:-8].mean())
+    change_out = float(np.concatenate(
+        [diff[:bar.start], diff[bar.stop:]]).mean())
+    mask_map = mask.mean(axis=(0, 1, 4))
+    mask_in = float(mask_map[bar, 8:-8].mean())
+    mask_out = float(np.concatenate(
+        [mask_map[:bar.start], mask_map[bar.stop:]]).mean())
+
+    save_image_grid(os.path.join(args.out, "toy_samples.jpg"),
+                    np.concatenate([x_np, x_t[0], x_t[-1]]), nrow=16)
+
+    out = {
+        "metric": "toy_glasses_removal_e2e",
+        "steps": int(step),
+        "images_per_sec": round(summary["images_per_sec"], 2),
+        "change_in_bar": round(change_in, 4),
+        "change_outside": round(change_out, 4),
+        "edit_locality": round(change_in / max(change_out, 1e-6), 2),
+        "mask_in_bar": round(mask_in, 4),
+        "mask_outside": round(mask_out, 4),
+        "mask_locality": round(mask_in / max(mask_out, 1e-6), 2),
+        "pass": bool(change_in > 2 * change_out and mask_in > mask_out),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
