@@ -43,6 +43,9 @@ def main():
         "compute_dtype": "bfloat16",
         "use_pallas": bool(int(os.environ.get("BENCH_PALLAS", "0"))),
         "remat": bool(int(os.environ.get("BENCH_REMAT", "0"))),
+        "adam_mu_dtype": ("bfloat16"
+                          if int(os.environ.get("BENCH_MU_BF16", "0"))
+                          else "float32"),
         "council": {"council_size": 4, "council_w": 0.2,
                     "council_start_at_iter": 0},
         "focus_loss": {"focus_enabled": True},

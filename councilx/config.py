@@ -205,6 +205,9 @@ class Config:
     # (jax.checkpoint): ~1/3 more gen FLOPs for a large activation-memory
     # cut — enables bigger per-chip batches at 256px
     remat: bool = False
+    # store Adam first moments in bfloat16 ("bfloat16" | "float32"):
+    # halves mu memory; second moments stay float32 for rsqrt precision
+    adam_mu_dtype: str = "float32"
 
     # unknown YAML keys, preserved verbatim
     extras: Dict[str, Any] = field(default_factory=dict)

@@ -17,28 +17,31 @@ from councilx.config import Config
 
 
 def make_step_lr_adam(lr: float, beta1: float, beta2: float,
-                      weight_decay: float, step_size: int, gamma: float
-                      ) -> optax.GradientTransformation:
+                      weight_decay: float, step_size: int, gamma: float,
+                      mu_dtype=None) -> optax.GradientTransformation:
     def schedule(count):
         return lr * (gamma ** (count // step_size))
 
     return optax.chain(
         optax.add_decayed_weights(weight_decay) if weight_decay
         else optax.identity(),
-        optax.scale_by_adam(b1=beta1, b2=beta2, eps=1e-8),
+        optax.scale_by_adam(b1=beta1, b2=beta2, eps=1e-8, mu_dtype=mu_dtype),
         optax.scale_by_schedule(lambda c: -schedule(c)),
     )
 
 
 def make_optimizers(cfg: Config):
     """-> (gen_tx, dis_tx, cdis_tx), mirroring the reference's 3 groups."""
+    import jax.numpy as jnp
+    mu_dtype = jnp.bfloat16 if cfg.adam_mu_dtype == "bfloat16" else None
     if cfg.lr_policy == "step":
         mk = lambda: make_step_lr_adam(  # noqa: E731
             cfg.lr, cfg.beta1, cfg.beta2, cfg.weight_decay, cfg.step_size,
-            cfg.gamma)
+            cfg.gamma, mu_dtype=mu_dtype)
     elif cfg.lr_policy == "constant":
         mk = lambda: make_step_lr_adam(  # noqa: E731
-            cfg.lr, cfg.beta1, cfg.beta2, cfg.weight_decay, 1 << 62, 1.0)
+            cfg.lr, cfg.beta1, cfg.beta2, cfg.weight_decay, 1 << 62, 1.0,
+            mu_dtype=mu_dtype)
     else:
         raise ValueError(f"unsupported lr_policy: {cfg.lr_policy}")
     return mk(), mk(), mk()
