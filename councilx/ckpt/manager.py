@@ -27,16 +27,43 @@ def _ckpt_dir(root: str, step: int) -> str:
     return os.path.join(root, f"step_{step:08d}")
 
 
-def save_checkpoint(root: str, state, step: int, keep: int = 3) -> str:
-    """Atomic orbax snapshot of the TrainState at ``step``."""
+_ASYNC_CKPTR = None
+
+
+def _get_async_ckptr():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def save_checkpoint(root: str, state, step: int, keep: int = 3,
+                    async_save: bool = False) -> str:
+    """Orbax snapshot of the TrainState at ``step``.
+
+    ``async_save=True`` returns as soon as the device->host copy is done and
+    writes in a background thread (orbax AsyncCheckpointer) so training
+    continues — SURVEY.md §5.3. Call :func:`wait_for_checkpoints` before
+    reading the snapshot back or exiting."""
     import orbax.checkpoint as ocp
 
     os.makedirs(root, exist_ok=True)
     path = os.path.abspath(_ckpt_dir(root, step))
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
+    host_state = jax.device_get(state)
+    if async_save:
+        ckptr = _get_async_ckptr()
+        ckptr.save(path, host_state, force=True)
+    else:
+        ocp.PyTreeCheckpointer().save(path, host_state, force=True)
     _gc_old(root, keep)
     return path
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async snapshot is fully written."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def list_checkpoints(root: str):

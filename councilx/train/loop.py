@@ -23,7 +23,7 @@ import yaml
 
 from councilx.config import Config
 from councilx.ckpt.manager import (latest_checkpoint, restore_checkpoint,
-                                   save_checkpoint)
+                                   save_checkpoint, wait_for_checkpoints)
 from councilx.data.loader import get_all_data_loaders
 from councilx.data.ondevice import augment_batch
 from councilx.train.trainer import CouncilTrainer
@@ -113,8 +113,11 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
                 np.asarray(mask) if mask is not None else None)
 
         if cfg.snapshot_save_iter and step % cfg.snapshot_save_iter == 0:
-            save_checkpoint(ckpt_dir, state, step)
+            # async: the write happens in a background thread while
+            # training continues (SURVEY.md §5.3)
+            save_checkpoint(ckpt_dir, state, step, async_save=True)
 
+    wait_for_checkpoints()
     save_checkpoint(ckpt_dir, state, step)
     logger.close()
     return {"step": step, "images_per_sec": images_per_sec}

@@ -169,3 +169,22 @@ def test_convert_pt_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(out),
                                    np.transpose(ref, (0, 2, 3, 1)),
                                    atol=3e-5)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async orbax snapshots (SURVEY.md §5.3) restore identically."""
+    import jax.numpy as jnp
+
+    from councilx.ckpt.manager import (latest_checkpoint, restore_checkpoint,
+                                       save_checkpoint, wait_for_checkpoints)
+
+    state = {"a": jnp.arange(10.0), "b": {"c": jnp.ones((3, 3)) * 2}}
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, state, 5, async_save=True)
+    save_checkpoint(d, state, 10, async_save=True)
+    wait_for_checkpoints()
+    assert latest_checkpoint(d)[0] == 10
+    restored, step = restore_checkpoint(d, state)
+    assert step == 10
+    np.testing.assert_array_equal(np.asarray(restored["b"]["c"]),
+                                  np.full((3, 3), 2.0))
