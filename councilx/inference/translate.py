@@ -65,7 +65,22 @@ class Translator:
         return jax.vmap(lambda p, z_i: self._translate.__wrapped__(
             self, p, x, z_i))(stacked_params, z)
 
+    @partial(jax.jit, static_argnums=0)
+    def _encode_style(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        return self.gen.apply({"params": params}, x.astype(self.dtype),
+                              method=AdaINGen.encode_style
+                              ).astype(jnp.float32)
+
     # ------------------------------------------------------------------
+
+    def encode_style(self, params, x: jnp.ndarray,
+                     member: Optional[int] = None) -> jnp.ndarray:
+        """Style code(s) of example image(s) x (B,H,W,3) in [-1,1] —
+        style-guided translation (the MUNIT capability the architecture
+        retains via StyleEncoder)."""
+        if member is not None:
+            params = jax.tree_util.tree_map(lambda l: l[member], params)
+        return self._encode_style(params, x)
 
     def translate(self, params, x: jnp.ndarray,
                   z: Optional[jnp.ndarray] = None,

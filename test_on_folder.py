@@ -60,6 +60,10 @@ def main():
                    help="council member index, or 'all'")
     p.add_argument("--direction", default="a2b", choices=["a2b", "b2a"])
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--style_image", default=None,
+                   help="style-guided mode: take the style code from this "
+                        "example image instead of sampling z (uses the "
+                        "generator's style encoder)")
     args = p.parse_args()
 
     cfg = load_config(args.config)
@@ -75,6 +79,20 @@ def main():
                             crop=cfg.data.crop_image_height)
 
     from PIL import Image
+
+    style_z = None
+    if args.style_image:
+        from councilx.data.dataset import _load_resize_crop
+        arr = _load_resize_crop(args.style_image, cfg.data.new_size,
+                                cfg.data.crop_image_height)
+        xs = normalize_batch(jnp.asarray(arr[None]))
+        # per-member style code of the example image: (n_members, 1, S)
+        style_z = {m: translator.encode_style(params, xs, member=m)
+                   for m in members}
+        if args.num_style > 1:
+            print("note: --style_image fixes the style; num_style ignored")
+            args.num_style = 1
+
     rng = jax.random.PRNGKey(args.seed)
     count = 0
     bs = args.batch_size
@@ -89,7 +107,11 @@ def main():
         for m in members:
             for s in range(args.num_style):
                 rng, k = jax.random.split(rng)
-                out, _ = translator.translate(params, x, rng=k, member=m)
+                z = (jnp.broadcast_to(style_z[m], (x.shape[0],
+                                                   style_z[m].shape[-1]))
+                     if style_z is not None else None)
+                out, _ = translator.translate(params, x, z=z, rng=k,
+                                              member=m)
                 out_u8 = denormalize_to_uint8(np.asarray(out))
                 for j, i in enumerate(idxs):
                     base = os.path.splitext(os.path.basename(ds.paths[i]))[0]
