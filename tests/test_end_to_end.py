@@ -188,3 +188,39 @@ def test_async_checkpoint_roundtrip(tmp_path):
     assert step == 10
     np.testing.assert_array_equal(np.asarray(restored["b"]["c"]),
                                   np.full((3, 3), 2.0))
+
+
+def test_style_guided_translation():
+    """encode_style + injected z: style-guided mode is deterministic and
+    member-consistent."""
+    import jax
+    import jax.numpy as jnp
+
+    from councilx.config import Config
+    from councilx.inference.translate import Translator
+
+    cfg = Config.from_dict({
+        "batch_size": 2, "compute_dtype": "float32",
+        "council": {"council_size": 2},
+        "focus_loss": {"focus_enabled": True},
+        "gen": {"dim": 4, "mlp_dim": 8, "style_dim": 3,
+                "n_downsample": 2, "n_res": 1},
+        "new_size": 20, "crop_image_height": 16, "crop_image_width": 16,
+    })
+    tr = Translator(cfg)
+    dummy = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.vmap(tr.gen.init, in_axes=(0, None))(
+        jax.random.split(jax.random.PRNGKey(0), 2), dummy)["params"]
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32))
+    ex = jnp.asarray(rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32))
+
+    z = tr.encode_style(params, ex, member=0)
+    assert z.shape == (1, 3)
+    zb = jnp.broadcast_to(z, (2, 3))
+    out1, _ = tr.translate(params, x, z=zb, member=0)
+    out2, _ = tr.translate(params, x, z=zb, member=0)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    # a different style code must change the output
+    out3, _ = tr.translate(params, x, z=zb + 1.0, member=0)
+    assert float(np.abs(np.asarray(out3) - np.asarray(out1)).max()) > 1e-4
