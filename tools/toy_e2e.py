@@ -42,6 +42,8 @@ def make_dataset(root, n_train=256, n_test=32, size=64, seed=0):
     from PIL import Image
 
     rng = np.random.RandomState(seed)
+    r0, r1 = BAR[0] * size // 64, BAR[1] * size // 64  # scale with size
+    m = 8 * size // 64
     for split, n in (("trainA", n_train), ("trainB", n_train),
                      ("testA", n_test), ("testB", n_test)):
         d = os.path.join(root, split)
@@ -50,7 +52,7 @@ def make_dataset(root, n_train=256, n_test=32, size=64, seed=0):
         for i in range(n):
             img = _smooth_noise(rng, size)
             if with_bar:
-                img[BAR[0]:BAR[1], 8:-8] *= 0.15  # dark "glasses" bar
+                img[r0:r1, m:-m] *= 0.15  # dark "glasses" bar
             arr = (img * 255).astype(np.uint8)
             Image.fromarray(arr).save(os.path.join(d, f"{i:05d}.png"))
 
@@ -116,12 +118,13 @@ def main():
     x_np = np.asarray(jax.device_get(x), np.float32)
 
     bar = slice(BAR[0] * args.size // 64, BAR[1] * args.size // 64)
+    m = 8 * args.size // 64
     diff = np.abs(x_t - x_np[None]).mean(axis=(0, 1, 4))  # (H, W)
-    change_in = float(diff[bar, 8:-8].mean())
+    change_in = float(diff[bar, m:-m].mean())
     change_out = float(np.concatenate(
         [diff[:bar.start], diff[bar.stop:]]).mean())
     mask_map = mask.mean(axis=(0, 1, 4))
-    mask_in = float(mask_map[bar, 8:-8].mean())
+    mask_in = float(mask_map[bar, m:-m].mean())
     mask_out = float(np.concatenate(
         [mask_map[:bar.start], mask_map[bar.stop:]]).mean())
 
