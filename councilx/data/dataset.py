@@ -15,7 +15,7 @@ resize kernel matches torchvision exactly (SURVEY.md hard-part #5).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from typing import Iterator, Optional, Sequence
+from typing import Iterator
 
 import numpy as np
 

@@ -17,7 +17,6 @@ hard-part #5).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ normalize_input), resized to 299x299 bilinear by the caller or via
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ passes (gamma, beta) down as call arguments — same numerics, no mutation.
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Any, Callable, List, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

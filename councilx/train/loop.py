@@ -12,7 +12,6 @@ metric) are tracked and logged. Optional jax.profiler traces cover SURVEY.md
 from __future__ import annotations
 
 import os
-import shutil
 import time
 from typing import Dict, Optional
 

@@ -8,7 +8,7 @@ Implemented host-side with numpy + PIL; inputs are NHWC float in [-1, 1].
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -1,6 +1,5 @@
 """Data pipeline tests: datasets, loader, on-device augmentation."""
 
-import os
 
 import numpy as np
 import pytest
