@@ -80,7 +80,12 @@ class CouncilShardTrainer(CouncilTrainer):
                 mesh=self.mesh,
                 in_specs=(specs, P("data"), P("data")),
                 out_specs=(specs, P()),
-                check_vma=False,
+                # check_vma=True is load-bearing, not a lint: params are
+                # replicated along 'data', and only the VMA machinery makes
+                # jax.grad insert the psum-over-'data' of their gradients.
+                # With check_vma=False each shard silently applies only its
+                # local-batch gradient and the 'data' replicas diverge.
+                check_vma=True,
             )
             self._jit_steps[do_cdis] = jax.jit(fn, donate_argnums=(0,))
 

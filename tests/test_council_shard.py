@@ -14,6 +14,51 @@ from councilx.train.trainer import CouncilTrainer
 from test_train_step import synthetic_batch, tiny_config
 
 
+def assert_data_replicas_identical(tree):
+    """Param leaves shard over 'council' and REPLICATE over 'data'; the
+    shards that map to the same global index must be bitwise identical.
+    If a data shard ever applies a gradient the others didn't psum (the
+    check_vma=False failure mode), this trips on the very first step."""
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        by_index = {}
+        for s in leaf.addressable_shards:
+            arr = np.asarray(s.data)
+            key = str(s.index)
+            if key in by_index:
+                np.testing.assert_array_equal(
+                    by_index[key], arr,
+                    err_msg=f"data-axis replicas diverged at "
+                            f"{jax.tree_util.keystr(path)}")
+            else:
+                by_index[key] = arr
+
+
+def test_grad_psum_invariant():
+    """Miniature of the trainer's shard_map pattern: params replicated along
+    'data', loss pmean'd over 'data' — jax.grad must produce the GLOBAL
+    gradient on every shard. This is exactly what check_vma=True provides
+    and check_vma=False silently breaks (grad = local contribution only)."""
+    import functools
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = make_mesh(8, council_parallel=2)
+    W = jnp.arange(6, dtype=jnp.float32).reshape(2, 3)
+    x = jnp.arange(24, dtype=jnp.float32).reshape(8, 3)
+
+    def loss(w, xs):
+        return jnp.sum(jnp.mean(jnp.einsum("nd,bd->nb", w, xs) ** 2, axis=1))
+
+    def step(w, xs):
+        return jax.grad(lambda ww: jax.lax.pmean(loss(ww, xs), "data"))(w)
+
+    g_ref = jax.grad(lambda w: loss(w, x))(W)
+    fn = shard_map(step, mesh=mesh, in_specs=(P("council"), P("data")),
+                   out_specs=P("council"), check_vma=True)
+    g = jax.jit(fn)(W, x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-6)
+
+
 def test_mesh_and_rejections():
     mesh = make_mesh(8, council_parallel=2)
     assert mesh.axis_names == ("data", "council")
@@ -54,6 +99,44 @@ def test_council_shard_matches_single_device(rng):
         cl = jax.tree_util.tree_leaves(c_state.params["a2b"][grp])
         worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(sl, cl))
         assert worst < 5e-4, (grp, worst)
+    assert_data_replicas_identical(c_state.params)
+
+
+def test_council_shard_multistep_tracks_single_device(rng):
+    """Three steps at a 30x-raised lr: any per-shard gradient error compounds
+    far past the tolerance (the single-step test at lr=1e-4 cannot see wrong
+    gradients because Adam's first step is ~±lr regardless of grad values).
+    Also asserts the 'data'-axis param replicas stay bitwise identical after
+    every step."""
+    cfg = tiny_config(batch_size=8, lr=3e-3)
+    x_a, x_b = synthetic_batch(rng, b=8)
+
+    single = CouncilTrainer(cfg)
+    s_state = single.init_state(jax.random.PRNGKey(0))
+    mesh = make_mesh(8, council_parallel=2)
+    cp = CouncilShardTrainer(cfg, mesh)
+    c_state = cp.init_state(jax.random.PRNGKey(0))
+
+    for _ in range(3):
+        s_state, _ = single.train_step(s_state, x_a, x_b)
+        c_state, _ = cp.train_step(c_state, x_a, x_b)
+        assert_data_replicas_identical(c_state.params)
+
+    # Max-norm cannot distinguish benign Adam sign-flips (update is ~±lr
+    # wherever |grad| sits at the fp-reduction noise floor) from wrong
+    # gradients — but the STATISTICS can: benign flips touch ~0.1% of
+    # components and leave mean|Δ| at ~lr/1000, while a local-only gradient
+    # (the check_vma=False bug) changes a large fraction of update signs
+    # and pushes mean|Δ| toward lr*steps.
+    lr = 3e-3
+    for grp in ("gen", "dis", "cdis"):
+        sl = jax.tree_util.tree_leaves(s_state.params["a2b"][grp])
+        cl = jax.tree_util.tree_leaves(c_state.params["a2b"][grp])
+        diffs = np.concatenate([np.abs(np.asarray(a) - np.asarray(b)).ravel()
+                                for a, b in zip(sl, cl)])
+        flip_frac = float((diffs > lr / 2).mean())
+        assert diffs.mean() < lr / 10, (grp, float(diffs.mean()))
+        assert flip_frac < 0.01, (grp, flip_frac)
 
 
 def test_council_shard_full_width(rng):
