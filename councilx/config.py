@@ -78,8 +78,22 @@ class CouncilConfig:
     council_w: float = 0.2
     # iteration after which the mutual-agreement loss switches on
     council_start_at_iter: int = 0
-    # how many council-dis updates run per generator update
+    # council-dis update ratio (reference key ≈
+    # numberOfCouncil_dis_relative_iteration) — interpretation is [VERIFY],
+    # so BOTH readings are implemented, selected by cdis_ratio_mode:
+    #   "k_per_step": k council-dis updates per train step (each on freshly
+    #     drawn fakes) — the reading the reference key name suggests; DEFAULT
+    #   "every_kth":  one council-dis update on every k-th step (gated by a
+    #     traced lax.cond inside the jit — no host sync)
     council_dis_relative_iteration: int = 1
+    cdis_ratio_mode: str = "k_per_step"
+    # real/fake polarity of the council discriminator ([VERIFY], dual-
+    # implemented): "own_real" (D̂_i: member i's own pairs = real class,
+    # other members' = fake; generators target the own-class label) or
+    # "own_fake" (swapped labels; generators still target the own-class
+    # label, which is then 0). Same agreement pressure either way; flip
+    # with one config line when the reference source is available.
+    council_polarity: str = "own_real"
     # alpha-mask ("focus") mechanism
     focus_enabled: bool = True
     mask_total_w: float = 0.005        # mean(mask) size penalty
@@ -103,6 +117,10 @@ class CouncilConfig:
             council_dis_relative_iteration=int(
                 _first(merged, "council_dis_relative_iteration",
                        "numberOfCouncil_dis_relative_iteration", default=1)),
+            cdis_ratio_mode=str(_first(merged, "cdis_ratio_mode",
+                                       default="k_per_step")),
+            council_polarity=str(_first(merged, "council_polarity",
+                                        default="own_real")),
             focus_enabled=bool(_first(merged, "focus_enabled", "do_focus",
                                       "focus", default=True)),
             mask_total_w=float(_first(merged, "mask_total_w", "mask_size_w",
@@ -237,6 +255,12 @@ class Config:
                              "channels on its first two downsamples)")
         if self.dis.gan_type not in ("lsgan", "nsgan"):
             raise ValueError(f"unsupported gan_type: {self.dis.gan_type}")
+        if self.council.cdis_ratio_mode not in ("k_per_step", "every_kth"):
+            raise ValueError(
+                f"unsupported cdis_ratio_mode: {self.council.cdis_ratio_mode}")
+        if self.council.council_polarity not in ("own_real", "own_fake"):
+            raise ValueError(
+                f"unsupported council_polarity: {self.council.council_polarity}")
         if not (self.do_a2b or self.do_b2a):
             raise ValueError("at least one of do_a2b / do_b2a must be true")
         if self.compute_dtype not in ("bfloat16", "float32"):

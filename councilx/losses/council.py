@@ -11,9 +11,12 @@ grid evaluates as ONE batched computation: the member axis folds into the
 batch fed to a vmapped discriminator — exactly the "one batched pairwise
 kernel over all N council members" called for in BASELINE.json's north star.
 
-Polarity note: the real/fake assignment (own = real) is [VERIFY] against the
-live source (mount was empty); both polarities train the same agreement
-pressure, and the choice is isolated in these two functions.
+Polarity note: the real/fake assignment is [VERIFY] against the live source
+(mount was empty), so BOTH are implemented behind ``polarity``
+(Config.council.council_polarity): "own_real" (default — D̂_i treats member
+i's own pairs as the real class) or "own_fake" (swapped labels). Generators
+always target the own-class label, so both polarities train the same
+agreement pressure; re-grounding is a one-line config change.
 """
 
 from __future__ import annotations
@@ -76,12 +79,15 @@ def council_gen_loss(cdis_apply: Callable, cdis_params,
                      conditional: bool = True,
                      dis_offset: int = 0,
                      out_offset: int = 0,
-                     scan: bool = False) -> jnp.ndarray:
+                     scan: bool = False,
+                     polarity: str = "own_real") -> jnp.ndarray:
     """Generator-side agreement loss.
 
     Sum over ordered pairs (i, j≠i) of the per-pair generator GAN loss of
     D̂_j on member i's output — matching the reference's double loop, with
-    means taken over batch and patch dims per pair.
+    means taken over batch and patch dims per pair. The generator targets
+    the OWN-class label of D̂_j (1 under "own_real", 0 under "own_fake"):
+    "make my output look like j's own work".
 
     ``dis_offset``/``out_offset``: global member indices of the first
     discriminator / first output row, for shard-local evaluation under
@@ -92,13 +98,17 @@ def council_gen_loss(cdis_apply: Callable, cdis_params,
     grids = _pair_grid_logits(cdis_apply, cdis_params, pairs, scan=scan)
     n_dis, n_out = grids[0].shape[0], x_fakes.shape[0]
     off_diag = 1.0 - _pair_mask(n_dis, n_out, dis_offset, out_offset)
+    own_real = polarity == "own_real"
     loss = 0.0
     for g in grids:  # (N_dis=j, N_out=i, B, h, w, 1)
         g = g.astype(jnp.float32)
         if gan_type == "lsgan":
-            per_pair = jnp.mean((g - 1.0) ** 2, axis=(2, 3, 4, 5))
+            target = (g - 1.0) ** 2 if own_real else g ** 2
+            per_pair = jnp.mean(target, axis=(2, 3, 4, 5))
         elif gan_type == "nsgan":
-            per_pair = jnp.mean(jax.nn.softplus(g) - g, axis=(2, 3, 4, 5))
+            target = (jax.nn.softplus(g) - g if own_real
+                      else jax.nn.softplus(g))
+            per_pair = jnp.mean(target, axis=(2, 3, 4, 5))
         else:
             raise ValueError(f"unsupported gan_type: {gan_type}")
         loss += jnp.sum(per_pair * off_diag)
@@ -111,13 +121,15 @@ def council_dis_loss(cdis_apply: Callable, cdis_params,
                      conditional: bool = True,
                      dis_offset: int = 0,
                      n_total: Optional[int] = None,
-                     scan: bool = False) -> jnp.ndarray:
+                     scan: bool = False,
+                     polarity: str = "own_real") -> jnp.ndarray:
     """Council-discriminator loss (reference dis_council_update).
 
-    D̂_i's real class = member i's own (output ‖ input) pairs (diagonal of
-    the grid); fake class = the other members' pairs (off-diagonal row),
-    averaged over the N−1 fakes so real and fake terms are balanced.
-    Caller must stop_gradient the fakes.
+    Under "own_real" (default): D̂_i's real class = member i's own
+    (output ‖ input) pairs (diagonal of the grid); fake class = the other
+    members' pairs (off-diagonal row), averaged over the N−1 others so the
+    two classes are balanced. Under "own_fake" the labels swap (diagonal =
+    fake, off-diagonal = real). Caller must stop_gradient the fakes.
 
     ``dis_offset``: global index of the first local discriminator (member
     parallelism); ``x_fakes`` always carries ALL members' outputs.
@@ -141,6 +153,10 @@ def council_dis_loss(cdis_apply: Callable, cdis_params,
             fake_term = jnp.mean(jax.nn.softplus(g), axis=(2, 3, 4, 5))
         else:
             raise ValueError(f"unsupported gan_type: {gan_type}")
-        loss += jnp.sum(real_term * eye)
-        loss += jnp.sum(fake_term * off_diag) / (n - 1)
+        if polarity == "own_real":
+            loss += jnp.sum(real_term * eye)
+            loss += jnp.sum(fake_term * off_diag) / (n - 1)
+        else:
+            loss += jnp.sum(fake_term * eye)
+            loss += jnp.sum(real_term * off_diag) / (n - 1)
     return loss

@@ -25,7 +25,6 @@ seeds — asserted by tests/test_council_shard.py on the 8-device CPU mesh.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax
@@ -59,7 +58,7 @@ class CouncilShardTrainer(CouncilTrainer):
         self.m = self.n // self.k
         self._replicated = NamedSharding(mesh, P())
         self._state_sharding = None
-        self._jit_steps: Dict[bool, Any] = {}
+        self._jit_step_fn = None
 
     # -- sharding specs ------------------------------------------------
 
@@ -74,20 +73,19 @@ class CouncilShardTrainer(CouncilTrainer):
         specs = jax.tree_util.tree_map(self._leaf_spec, state)
         self._state_sharding = jax.tree_util.tree_map(
             lambda s: NamedSharding(self.mesh, s), specs)
-        for do_cdis in (False, True):
-            fn = shard_map(
-                functools.partial(self._step_local, do_cdis=do_cdis),
-                mesh=self.mesh,
-                in_specs=(specs, P("data"), P("data")),
-                out_specs=(specs, P()),
-                # check_vma=True is load-bearing, not a lint: params are
-                # replicated along 'data', and only the VMA machinery makes
-                # jax.grad insert the psum-over-'data' of their gradients.
-                # With check_vma=False each shard silently applies only its
-                # local-batch gradient and the 'data' replicas diverge.
-                check_vma=True,
-            )
-            self._jit_steps[do_cdis] = jax.jit(fn, donate_argnums=(0,))
+        fn = shard_map(
+            self._step_local,
+            mesh=self.mesh,
+            in_specs=(specs, P("data"), P("data")),
+            out_specs=(specs, P()),
+            # check_vma=True is load-bearing, not a lint: params are
+            # replicated along 'data', and only the VMA machinery makes
+            # jax.grad insert the psum-over-'data' of their gradients.
+            # With check_vma=False each shard silently applies only its
+            # local-batch gradient and the 'data' replicas diverge.
+            check_vma=True,
+        )
+        self._jit_step_fn = jax.jit(fn, donate_argnums=(0,))
 
     def init_state(self, rng: jax.Array) -> TrainState:
         state = super().init_state(rng)
@@ -97,7 +95,7 @@ class CouncilShardTrainer(CouncilTrainer):
 
     # -- the shard-local step -------------------------------------------
 
-    def _step_local(self, state: TrainState, x_a, x_b, do_cdis: bool):
+    def _step_local(self, state: TrainState, x_a, x_b):
         cfg = self.cfg
         n, m, sd = self.n, self.m, cfg.gen.style_dim
         b_local = x_a.shape[0]
@@ -137,25 +135,67 @@ class CouncilShardTrainer(CouncilTrainer):
         params = {d: dict(state.params[d]) for d in self.directions}
 
         # ---- phase 1: council discriminators (local D-hat members see the
-        # full gathered fake stack; diagonal masks use global indices)
+        # full gathered fake stack; diagonal masks use global indices).
+        # The update ratio resolves inside the jit exactly as in
+        # trainer._step — both cdis_ratio_mode readings, no host sync.
         opt_cdis = state.opt_cdis
-        if do_cdis and self.has_council:
-            def cdis_loss_fn(tree):
-                loss = 0.0
-                for d in self.directions:
-                    loss += council_dis_loss(
-                        self._cdis_apply, tree[d], fakes_all[d],
-                        inputs[d][0], self.gan_type, self.conditional,
-                        dis_offset=off, n_total=n, scan=cfg.remat)
-                return jax.lax.pmean(loss, "data")
+        if self.has_council:
+            def one_cdis_update(tree, opt, fakes_k):
+                def cdis_loss_fn(t):
+                    loss = 0.0
+                    for d in self.directions:
+                        loss += council_dis_loss(
+                            self._cdis_apply, t[d], fakes_k[d],
+                            inputs[d][0], self.gan_type, self.conditional,
+                            dis_offset=off, n_total=n, scan=cfg.remat,
+                            polarity=cfg.council.council_polarity)
+                    return jax.lax.pmean(loss, "data")
 
+                loss, grads = jax.value_and_grad(cdis_loss_fn)(tree)
+                updates, opt = self.cdis_tx.update(grads, opt, tree)
+                return optax.apply_updates(tree, updates), opt, loss
+
+            ratio = max(1, cfg.council.council_dis_relative_iteration)
             tree = {d: params[d]["cdis"] for d in self.directions}
-            loss_cdis, grads = jax.value_and_grad(cdis_loss_fn)(tree)
-            updates, opt_cdis = self.cdis_tx.update(grads, state.opt_cdis,
-                                                    tree)
-            new_tree = optax.apply_updates(tree, updates)
+            if ratio == 1:
+                tree, opt_cdis, loss_cdis = one_cdis_update(tree, opt_cdis,
+                                                            fakes_all)
+            elif cfg.council.cdis_ratio_mode == "k_per_step":
+                tree, opt_cdis, loss_cdis = one_cdis_update(tree, opt_cdis,
+                                                            fakes_all)
+                for it in range(1, ratio):
+                    fakes_i: Dict[str, jnp.ndarray] = {}
+                    for di, d in enumerate(self.directions):
+                        # same global z stream as the single-chip step,
+                        # sliced to this shard's (members, batch) block
+                        z_full = jax.random.normal(
+                            jax.random.fold_in(k_z, 1000 + it * 8 + di),
+                            (n, b_global, sd), self.dtype)
+                        z_i = jax.lax.dynamic_slice(
+                            z_full, (off, d_idx * b_local, 0),
+                            (m, b_local, sd))
+                        x_t, _, _ = self._translate_members(
+                            params[d]["gen"], inputs[d][0], z_i)
+                        fakes_i[d] = jax.lax.all_gather(
+                            jax.lax.stop_gradient(x_t), "council",
+                            axis=0, tiled=True)
+                    tree, opt_cdis, loss_cdis = one_cdis_update(
+                        tree, opt_cdis, fakes_i)
+            else:  # "every_kth" (round-1 semantics), traced gate
+                def run(args):
+                    return one_cdis_update(*args, fakes_all)
+
+                def skip(args):
+                    t, o = args
+                    # run's loss is council-varying (per-local-member sums);
+                    # match its VMA type so lax.cond branches agree
+                    return t, o, jax.lax.pcast(jnp.zeros((), jnp.float32),
+                                               "council", to="varying")
+
+                tree, opt_cdis, loss_cdis = jax.lax.cond(
+                    state.step % ratio == 0, run, skip, (tree, opt_cdis))
             for d in self.directions:
-                params[d]["cdis"] = new_tree[d]
+                params[d]["cdis"] = tree[d]
             metrics["loss_dis_council"] = jax.lax.psum(loss_cdis, "council")
 
         # ---- phase 2: domain discriminators (fully member-local)
@@ -226,11 +266,8 @@ class CouncilShardTrainer(CouncilTrainer):
             self._build(state)
         x_a = jax.device_put(x_a, NamedSharding(self.mesh, P("data")))
         x_b = jax.device_put(x_b, NamedSharding(self.mesh, P("data")))
-        ratio = max(1, self.cfg.council.council_dis_relative_iteration)
-        do_cdis = True if ratio == 1 else bool(
-            int(jax.device_get(state.step)) % ratio == 0)
         with self.mesh:
-            return self._jit_steps[do_cdis](state, x_a, x_b)
+            return self._jit_step_fn(state, x_a, x_b)
 
     def sample(self, state: TrainState, x, direction: str = "a2b",
                rng=None):

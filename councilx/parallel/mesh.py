@@ -111,9 +111,8 @@ class DataParallelTrainer(CouncilTrainer):
                 f"size {n_dev}")
         x_a = shard_batch(self.mesh, x_a)
         x_b = shard_batch(self.mesh, x_b)
-        ratio = max(1, self.cfg.council.council_dis_relative_iteration)
-        do_cdis = True if ratio == 1 else bool(
-            int(jax.device_get(state.step)) % ratio == 0)
+        # the cdis ratio is resolved inside the jit (trainer._step) — no
+        # host readback of state.step in the hot loop.
         # pjit with explicit in_shardings rejects kwargs -> pass positionally
         with self.mesh:
-            return self._jit_step(state, x_a, x_b, do_cdis)
+            return self._jit_step(state, x_a, x_b, True)

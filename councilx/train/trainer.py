@@ -59,9 +59,8 @@ class CouncilTrainer:
     """
 
     def __init__(self, cfg: Config):
-        from councilx.ops import runtime_flags
-        runtime_flags.set_use_pallas(cfg.use_pallas and not cfg.parity_mode)
         self.cfg = cfg
+        use_pallas = cfg.use_pallas and not cfg.parity_mode
         self.n = cfg.council.council_size
         self.directions = [d for d, on in (("a2b", cfg.do_a2b),
                                            ("b2a", cfg.do_b2a)) if on]
@@ -78,13 +77,14 @@ class CouncilTrainer:
             pad_type=g.pad_type, mlp_dim=g.mlp_dim, mlp_n_blk=g.mlp_n_blk,
             focus_mask=self.focus, kernel_init=make_kernel_init(cfg.init),
             dtype=self.dtype,
-            fuse_upsample=cfg.fuse_upsample and not cfg.parity_mode)
+            fuse_upsample=cfg.fuse_upsample and not cfg.parity_mode,
+            use_pallas=use_pallas)
         d = cfg.dis
         dis_kwargs = dict(dim=d.dim, n_layer=d.n_layer, norm=d.norm,
                           activ=d.activ, num_scales=d.num_scales,
                           pad_type=d.pad_type, gan_type=d.gan_type,
                           kernel_init=make_kernel_init("gaussian"),
-                          dtype=self.dtype)
+                          dtype=self.dtype, use_pallas=use_pallas)
         self.dis = MsImageDis(input_dim=cfg.data.input_dim_a, **dis_kwargs)
         cdis_in = cfg.data.input_dim_a * (2 if self.conditional else 1)
         self.cdis = MsImageDis(input_dim=cdis_in, **dis_kwargs)
@@ -218,7 +218,8 @@ class CouncilTrainer:
             loss_c = council_gen_loss(self._cdis_apply, cdis_params, x_t,
                                       x_in, self.gan_type, self.conditional,
                                       out_offset=out_offset,
-                                      scan=cfg.remat)
+                                      scan=cfg.remat,
+                                      polarity=cc.council_polarity)
             gate = (step >= cc.council_start_at_iter).astype(jnp.float32)
             m["loss_gen_council"] = loss_c
             total += cc.council_w * gate * loss_c
@@ -341,25 +342,61 @@ class CouncilTrainer:
 
         params = {d: dict(state.params[d]) for d in self.directions}
 
-        # ---- phase 1: council discriminators (reference dis_council_update)
+        # ---- phase 1: council discriminators (reference dis_council_update).
+        # The update ratio (council_dis_relative_iteration = k) supports both
+        # [VERIFY] readings of the reference key, selected by
+        # cdis_ratio_mode and resolved entirely INSIDE the jit (round 1
+        # gated on a host readback of state.step, serializing dispatch):
+        #   k_per_step: k updates per train step, fresh fakes per update;
+        #   every_kth:  one update on steps where step % k == 0 (lax.cond).
         opt_cdis = state.opt_cdis
         if do_cdis and self.has_council:
-            def cdis_loss_fn(tree):
-                loss = 0.0
-                for d in self.directions:
-                    loss += council_dis_loss(
-                        self._cdis_apply, tree[d], fakes[d], inputs[d][0],
-                        self.gan_type, self.conditional,
-                        scan=self.cfg.remat)
-                return loss
+            def one_cdis_update(tree, opt, fakes_k):
+                def cdis_loss_fn(t):
+                    loss = 0.0
+                    for d in self.directions:
+                        loss += council_dis_loss(
+                            self._cdis_apply, t[d], fakes_k[d], inputs[d][0],
+                            self.gan_type, self.conditional,
+                            scan=self.cfg.remat,
+                            polarity=cfg.council.council_polarity)
+                    return loss
 
+                loss, grads = jax.value_and_grad(cdis_loss_fn)(tree)
+                updates, opt = self.cdis_tx.update(grads, opt, tree)
+                return optax.apply_updates(tree, updates), opt, loss
+
+            ratio = max(1, cfg.council.council_dis_relative_iteration)
             tree = {d: params[d]["cdis"] for d in self.directions}
-            loss_cdis, grads = jax.value_and_grad(cdis_loss_fn)(tree)
-            updates, opt_cdis = self.cdis_tx.update(grads, state.opt_cdis,
-                                                    tree)
-            new_tree = optax.apply_updates(tree, updates)
+            if ratio == 1:
+                tree, opt_cdis, loss_cdis = one_cdis_update(tree, opt_cdis,
+                                                            fakes)
+            elif cfg.council.cdis_ratio_mode == "k_per_step":
+                tree, opt_cdis, loss_cdis = one_cdis_update(tree, opt_cdis,
+                                                            fakes)
+                for it in range(1, ratio):
+                    fakes_i: Dict[str, jnp.ndarray] = {}
+                    for di, d in enumerate(self.directions):
+                        z_i = jax.random.normal(
+                            jax.random.fold_in(k_z, 1000 + it * 8 + di),
+                            (n, b, sd), self.dtype)
+                        x_t, _, _ = self._translate_members(
+                            params[d]["gen"], inputs[d][0], z_i)
+                        fakes_i[d] = jax.lax.stop_gradient(x_t)
+                    tree, opt_cdis, loss_cdis = one_cdis_update(
+                        tree, opt_cdis, fakes_i)
+            else:  # "every_kth" (round-1 semantics), traced gate
+                def run(args):
+                    return one_cdis_update(*args, fakes)
+
+                def skip(args):
+                    t, o = args
+                    return t, o, jnp.zeros((), jnp.float32)
+
+                tree, opt_cdis, loss_cdis = jax.lax.cond(
+                    state.step % ratio == 0, run, skip, (tree, opt_cdis))
             for d in self.directions:
-                params[d]["cdis"] = new_tree[d]
+                params[d]["cdis"] = tree[d]
             metrics["loss_dis_council"] = loss_cdis
 
         # ---- phase 2: domain discriminators (reference dis_update)
@@ -417,12 +454,10 @@ class CouncilTrainer:
                                                                Dict]:
         """One full iteration: council-dis -> dis -> gen, jitted and fused.
 
-        The council-dis update runs every
-        ``council_dis_relative_iteration``-th step (reference: the ratio the
-        train loop applies to dis_council_update)."""
-        ratio = max(1, self.cfg.council.council_dis_relative_iteration)
-        do_cdis = bool(int(state.step) % ratio == 0) if ratio > 1 else True
-        return self._jit_step(state, x_a, x_b, do_cdis=do_cdis)
+        The council-dis update ratio (council_dis_relative_iteration /
+        cdis_ratio_mode) is resolved inside the jit — no host readback of
+        state.step in the hot loop."""
+        return self._jit_step(state, x_a, x_b, do_cdis=True)
 
     def _sample_members(self, gen_params, x: jnp.ndarray, z: jnp.ndarray):
         """Translations from every member for visualization: -> (N,B,H,W,C)."""

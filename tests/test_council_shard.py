@@ -139,6 +139,39 @@ def test_council_shard_multistep_tracks_single_device(rng):
         assert flip_frac < 0.01, (grp, flip_frac)
 
 
+@pytest.mark.parametrize("mode", ["k_per_step", "every_kth"])
+def test_council_shard_ratio2_matches_single_device(rng, mode):
+    """council_dis_relative_iteration=2 under both cdis_ratio_mode readings:
+    two sharded steps must track the single-chip trainer (covers the fresh-z
+    slicing of the k_per_step inner iterations and the traced every_kth
+    gate, including its skip step)."""
+    cfg = tiny_config(batch_size=8,
+                      council={"council_size": 2, "council_w": 0.2,
+                               "council_dis_relative_iteration": 2,
+                               "cdis_ratio_mode": mode})
+    x_a, x_b = synthetic_batch(rng, b=8)
+
+    single = CouncilTrainer(cfg)
+    s_state = single.init_state(jax.random.PRNGKey(0))
+    mesh = make_mesh(8, council_parallel=2)
+    cp = CouncilShardTrainer(cfg, mesh)
+    c_state = cp.init_state(jax.random.PRNGKey(0))
+
+    for _ in range(2):
+        s_state, s_metrics = single.train_step(s_state, x_a, x_b)
+        c_state, c_metrics = cp.train_step(c_state, x_a, x_b)
+        for k in s_metrics:
+            np.testing.assert_allclose(
+                float(s_metrics[k]), float(c_metrics[k]),
+                rtol=2e-3, atol=1e-4, err_msg=f"{mode}:{k}")
+    assert_data_replicas_identical(c_state.params)
+    for grp in ("gen", "dis", "cdis"):
+        sl = jax.tree_util.tree_leaves(s_state.params["a2b"][grp])
+        cl = jax.tree_util.tree_leaves(c_state.params["a2b"][grp])
+        worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(sl, cl))
+        assert worst < 1e-3, (mode, grp, worst)
+
+
 def test_council_shard_full_width(rng):
     """council axis == council size (one member per shard group)."""
     cfg = tiny_config(batch_size=8)  # council_size=2 in tiny_config
