@@ -81,22 +81,27 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for batch_idx in self._index_stream():
-                    if stop.is_set():
-                        return
-                    batch = None
-                    if self._native is not None:
-                        try:
-                            batch = self._native.load_batch(batch_idx)
-                        except IOError:
-                            batch = None  # corrupt/odd file -> PIL fallback
-                    if batch is None:
-                        arrs = list(pool.map(self.dataset.__getitem__,
-                                             batch_idx.tolist()))
-                        batch = np.stack(arrs)
-                    q.put(batch)
-            q.put(None)
+            # any failure must reach the consumer as an exception, never as
+            # a dead producer + a consumer blocked on q.get() forever
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for batch_idx in self._index_stream():
+                        if stop.is_set():
+                            return
+                        batch = None
+                        if self._native is not None:
+                            try:
+                                batch = self._native.load_batch(batch_idx)
+                            except IOError:
+                                batch = None  # corrupt file -> PIL fallback
+                        if batch is None:
+                            arrs = list(pool.map(self.dataset.__getitem__,
+                                                 batch_idx.tolist()))
+                            batch = np.stack(arrs)
+                        q.put(batch)
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -105,6 +110,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -52,6 +52,22 @@ def test_loader_batches(image_folder):
     assert batches[0].shape == (4, 36, 36, 3)
 
 
+def test_loader_corrupt_image_raises_not_hangs(image_folder):
+    """A decode failure in the producer thread must surface as an exception
+    on the consumer side (round 1 died silently before q.put(None) and the
+    consumer blocked on q.get() forever)."""
+    # truncate one file so PIL raises mid-epoch
+    victim = sorted(
+        p for p in __import__("os").listdir(image_folder))[2]
+    with open(f"{image_folder}/{victim}", "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n garbage")
+    ds = ImageFolderDataset(image_folder, new_size=36)
+    dl = DataLoader(ds, batch_size=6, shuffle=False, infinite=False,
+                    num_workers=2)
+    with pytest.raises(Exception):
+        list(dl)
+
+
 def test_loader_infinite_stream():
     ds = SyntheticImageDataset(5, new_size=16)
     dl = DataLoader(ds, batch_size=2, infinite=True)
