@@ -28,8 +28,6 @@ class Translator:
     """
 
     def __init__(self, cfg: Config):
-        from councilx.ops import runtime_flags
-        runtime_flags.set_use_pallas(cfg.use_pallas and not cfg.parity_mode)
         self.cfg = cfg
         g = cfg.gen
         self.focus = cfg.council.focus_enabled
@@ -42,7 +40,8 @@ class Translator:
             pad_type=g.pad_type, mlp_dim=g.mlp_dim, mlp_n_blk=g.mlp_n_blk,
             focus_mask=self.focus, kernel_init=make_kernel_init(cfg.init),
             dtype=dtype,
-            fuse_upsample=cfg.fuse_upsample and not cfg.parity_mode)
+            fuse_upsample=cfg.fuse_upsample and not cfg.parity_mode,
+            use_pallas=cfg.use_pallas and not cfg.parity_mode)
 
     @partial(jax.jit, static_argnums=0)
     def _translate(self, params, x: jnp.ndarray, z: jnp.ndarray

@@ -277,6 +277,10 @@ class Conv2dBlock(nn.Module):
     dtype: Dtype = jnp.float32
     upsample2x: bool = False
     fuse_upsample: bool = True
+    # per-object kernel choice (from Config.use_pallas via the model ctor) —
+    # a module attribute, not a process global, so two models with
+    # different settings can't contaminate each other's traces
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -317,10 +321,8 @@ class Conv2dBlock(nn.Module):
                 bias_init=nn.initializers.zeros,
                 dtype=self.dtype, param_dtype=jnp.float32, name="Conv_0")(x)
 
-        from councilx.ops import runtime_flags
-
         if self.norm == "in":
-            if runtime_flags.use_pallas():
+            if self.use_pallas:
                 from councilx.ops.pallas_norm import instance_norm_pallas
                 y = instance_norm_pallas(y)
             else:
@@ -335,7 +337,7 @@ class Conv2dBlock(nn.Module):
             if adain_params is None:
                 raise ValueError("adain norm requires adain_params")
             gamma, beta = adain_params
-            if runtime_flags.use_pallas():
+            if self.use_pallas:
                 from councilx.ops.pallas_norm import instance_norm_pallas
                 y = instance_norm_pallas(y, gamma.astype(jnp.float32),
                                          beta.astype(jnp.float32))
@@ -408,6 +410,7 @@ class ResBlock(nn.Module):
     pad_type: str = "zero"
     kernel_init: Callable = nn.initializers.he_normal()
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -416,10 +419,12 @@ class ResBlock(nn.Module):
         p1 = adain_params[1] if adain_params is not None else None
         y = Conv2dBlock(self.dim, 3, 1, 1, norm=self.norm,
                         activation=self.activation, pad_type=self.pad_type,
-                        kernel_init=self.kernel_init, dtype=self.dtype)(x, p0)
+                        kernel_init=self.kernel_init, dtype=self.dtype,
+                        use_pallas=self.use_pallas)(x, p0)
         y = Conv2dBlock(self.dim, 3, 1, 1, norm=self.norm,
                         activation="none", pad_type=self.pad_type,
-                        kernel_init=self.kernel_init, dtype=self.dtype)(y, p1)
+                        kernel_init=self.kernel_init, dtype=self.dtype,
+                        use_pallas=self.use_pallas)(y, p1)
         return x + y
 
 
@@ -433,6 +438,7 @@ class ResBlocks(nn.Module):
     pad_type: str = "zero"
     kernel_init: Callable = nn.initializers.he_normal()
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -442,7 +448,8 @@ class ResBlocks(nn.Module):
                  if adain_params is not None else None)
             x = ResBlock(self.dim, norm=self.norm,
                          activation=self.activation, pad_type=self.pad_type,
-                         kernel_init=self.kernel_init, dtype=self.dtype)(x, p)
+                         kernel_init=self.kernel_init, dtype=self.dtype,
+                         use_pallas=self.use_pallas)(x, p)
         return x
 
 

@@ -50,6 +50,7 @@ class ContentEncoder(nn.Module):
     pad_type: str = "reflect"
     kernel_init: Callable = nn.initializers.he_normal()
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -60,15 +61,16 @@ class ContentEncoder(nn.Module):
         dim = self.dim
         x = Conv2dBlock(dim, 7, 1, 3, norm="in", activation=self.activ,
                         pad_type=self.pad_type, kernel_init=self.kernel_init,
-                        dtype=self.dtype)(x)
+                        dtype=self.dtype, use_pallas=self.use_pallas)(x)
         for _ in range(self.n_downsample):
             x = Conv2dBlock(2 * dim, 4, 2, 1, norm="in",
                             activation=self.activ, pad_type=self.pad_type,
-                            kernel_init=self.kernel_init, dtype=self.dtype)(x)
+                            kernel_init=self.kernel_init, dtype=self.dtype,
+                            use_pallas=self.use_pallas)(x)
             dim *= 2
         x = ResBlocks(self.n_res, dim, norm="in", activation=self.activ,
                       pad_type=self.pad_type, kernel_init=self.kernel_init,
-                      dtype=self.dtype)(x)
+                      dtype=self.dtype, use_pallas=self.use_pallas)(x)
         return x
 
 
@@ -125,6 +127,7 @@ class Decoder(nn.Module):
     # phase-decomposed upsample+conv (ops/upsample_conv.py): exact rewrite,
     # 9/25 the MACs; off in parity mode (summation order differs slightly)
     fuse_upsample: bool = True
+    use_pallas: bool = False
 
     @staticmethod
     def num_adain_params(dim: int, n_res: int) -> int:
@@ -146,7 +149,7 @@ class Decoder(nn.Module):
             cursor += 2 * dim
         x = ResBlocks(self.n_res, dim, norm="adain", activation=self.activ,
                       pad_type=self.pad_type, kernel_init=self.kernel_init,
-                      dtype=self.dtype)(x, pairs)
+                      dtype=self.dtype, use_pallas=self.use_pallas)(x, pairs)
         for _ in range(self.n_upsample):
             x = Conv2dBlock(dim // 2, 5, 1, 2, norm="ln",
                             activation=self.activ, pad_type=self.pad_type,
@@ -180,6 +183,7 @@ class AdaINGen(nn.Module):
     kernel_init: Callable = nn.initializers.he_normal()
     dtype: Dtype = jnp.float32
     fuse_upsample: bool = True  # see Decoder.fuse_upsample
+    use_pallas: bool = False    # per-object kernel choice (no process global)
 
     @property
     def content_dim(self) -> int:
@@ -193,7 +197,8 @@ class AdaINGen(nn.Module):
         self.enc_content = ContentEncoder(
             dim=self.dim, n_downsample=self.n_downsample, n_res=self.n_res,
             activ=self.activ, pad_type=self.pad_type,
-            kernel_init=self.kernel_init, dtype=self.dtype)
+            kernel_init=self.kernel_init, dtype=self.dtype,
+            use_pallas=self.use_pallas)
         self.enc_style = StyleEncoder(
             dim=self.dim, style_dim=self.style_dim,
             n_downsample=self.n_downsample, activ=self.activ,
@@ -203,7 +208,8 @@ class AdaINGen(nn.Module):
             dim=self.content_dim, output_dim=self.output_dim,
             n_upsample=self.n_downsample, n_res=self.n_res, activ=self.activ,
             pad_type=self.pad_type, kernel_init=self.kernel_init,
-            dtype=self.dtype, fuse_upsample=self.fuse_upsample)
+            dtype=self.dtype, fuse_upsample=self.fuse_upsample,
+            use_pallas=self.use_pallas)
         self.mlp = MLP(
             out_dim=Decoder.num_adain_params(self.content_dim, self.n_res),
             dim=self.mlp_dim, n_blk=self.mlp_n_blk, norm="none",

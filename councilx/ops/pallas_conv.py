@@ -17,8 +17,10 @@ cotangent with the spatially-flipped, in/out-transposed kernel (a standard
 conv transpose identity); dk is a 9-tap batched dot done in XLA (a big-K
 GEMM XLA already runs near peak).
 
-Gated by Config.use_pallas + shape eligibility; XLA is the fallback and
-the numerics reference (tests/test_pallas_conv.py).
+NOT integrated into the model path: round-1 profiling showed the fwd+bwd
+pair loses to XLA's convs end-to-end (BASELINE.md), so this kernel is kept
+as a benchmarked experiment with its own tests (tests/test_pallas_conv.py);
+XLA is the shipping path and the numerics reference.
 """
 
 from __future__ import annotations

@@ -13,9 +13,9 @@ Numerics match councilx.nn.blocks.instance_norm / adain exactly at fp32:
 biased variance, eps inside rsqrt, stats in float32 regardless of input
 dtype (tests/test_pallas_norm.py, interpret mode on CPU + compiled on TPU).
 
-Gated by ``councilx.ops.runtime_flags.use_pallas`` (set from
-``Config.use_pallas``); the XLA path in nn/blocks.py is the fallback and
-the parity reference.
+Gated per-model by the ``use_pallas`` module attribute (set from
+``Config.use_pallas`` by the trainer/translator ctors); the XLA path in
+nn/blocks.py is the fallback and the parity reference.
 """
 
 from __future__ import annotations
