@@ -234,15 +234,16 @@ bool load_one(const Loader& L, long idx, unsigned char* out) {
   Image img = decode_file(L.paths[idx]);
   if (!img.ok()) return false;
   int ns = L.new_size;
-  // shorter-side resize (round like Python round(): nearest-even is
-  // overkill — PIL uses round-half-up via int(x+0.5) here too)
+  // shorter-side resize; dims must match the PIL parity path
+  // (dataset.py::_load_resize_crop), which uses Python round() —
+  // ties-to-even — so use nearbyint (FE_TONEAREST), not int(x+0.5)
   int nw, nh;
   if (img.w <= img.h) {
     nw = ns;
-    nh = std::max(1, int(double(img.h) * ns / img.w + 0.5));
+    nh = std::max(1, int(std::nearbyint(double(img.h) * ns / img.w)));
   } else {
     nh = ns;
-    nw = std::max(1, int(double(img.w) * ns / img.h + 0.5));
+    nw = std::max(1, int(std::nearbyint(double(img.w) * ns / img.h)));
   }
   std::vector<unsigned char> resized;
   if (nw == img.w && nh == img.h) {

@@ -52,6 +52,29 @@ def test_native_matches_pil(image_dir):
         assert diff.mean() < 1.0, f"{p}: mean diff {diff.mean()}"
 
 
+def test_native_resize_dims_match_python_round_on_ties(tmp_path):
+    """Aspect ratios that land exactly on .5 must round like Python round()
+    (ties-to-even) on BOTH paths: a 4x6 image at new_size=3 gives
+    6*3/4 = 4.5 -> 4 under banker's rounding, 5 under int(x+0.5) (the
+    round-1 native behavior)."""
+    _native_or_skip()
+    from councilx.data.native import NativeImageLoader
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, (6, 4, 3), np.uint8)  # h=6, w=4
+    p = tmp_path / "tie.png"
+    Image.fromarray(arr).save(p)
+
+    ref = _load_resize_crop(str(p), 3)
+    nat = NativeImageLoader([str(p)], new_size=3)
+    got = nat.load_batch(np.array([0]))[0]
+    assert ref.shape == got.shape == (3, 3, 3)
+    # identical dims means the center crop offsets agree; pixels then agree
+    # to resize-arithmetic tolerance
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    assert diff.max() <= 3, f"max diff {diff.max()}"
+
+
 def test_native_bad_index_raises(image_dir):
     _native_or_skip()
     from councilx.data.native import NativeImageLoader
