@@ -79,6 +79,8 @@ init();
 
 
 def main():
+    from councilx.utils.platform import apply_env_platform
+    apply_env_platform()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--checkpoint", required=True)

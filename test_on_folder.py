@@ -48,6 +48,8 @@ def load_generator_params(checkpoint: str, cfg, direction: str = "a2b"):
 
 
 def main():
+    from councilx.utils.platform import apply_env_platform
+    apply_env_platform()
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
     p.add_argument("--checkpoint", required=True)

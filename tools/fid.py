@@ -22,6 +22,8 @@ sys.path.insert(0, ".")  # repo root
 
 
 def main():
+    from councilx.utils.platform import apply_env_platform
+    apply_env_platform()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("folder_a")
     ap.add_argument("folder_b")

@@ -58,6 +58,8 @@ def make_dataset(root, n_train=256, n_test=32, size=64, seed=0):
 
 
 def main():
+    from councilx.utils.platform import apply_env_platform
+    apply_env_platform()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--out", default="/tmp/toy_e2e")

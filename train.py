@@ -13,9 +13,11 @@ import os
 
 from councilx.config import load_config
 from councilx.train.loop import train
+from councilx.utils.platform import apply_env_platform
 
 
 def main():
+    apply_env_platform()
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True, help="yaml config path")
     p.add_argument("--output_path", default="outputs")
