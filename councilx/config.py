@@ -102,6 +102,14 @@ class CouncilConfig:
     focus_start_at_iter: int = 0
     # condition the council discriminator on the input image (channel concat)
     council_conditional_input: bool = True
+    # mask-channel activation ([VERIFY], dual-implemented):
+    #   "tanh_affine": decoder tanh covers the mask channel, mask=(m+1)/2
+    #     (round-1 reading; DEFAULT)
+    #   "sigmoid": the final conv leaves the mask channel raw (tanh applies
+    #     to RGB only) and mask = sigmoid(raw)
+    # Same parameter tree either way — flipping is a one-line config change
+    # when the reference source is available.
+    mask_activation: str = "tanh_affine"
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "CouncilConfig":
@@ -135,6 +143,8 @@ class CouncilConfig:
             council_conditional_input=bool(
                 _first(merged, "council_conditional_input",
                        "council_abs_gen_input", default=True)),
+            mask_activation=str(_first(merged, "mask_activation",
+                                       default="tanh_affine")),
         )
 
 
@@ -212,13 +222,21 @@ class Config:
     # parity mode: fp32 everywhere + highest conv/matmul precision, for
     # pixel-exact comparison against the reference inference path.
     parity_mode: bool = False
-    # pallas kernel toggles (XLA fallback when False)
+    # pallas kernel toggles (XLA fallback when False):
+    # use_pallas gates the 3x3 resblock conv kernel (ops/pallas_conv.py);
+    # use_pallas_norm gates the fused instance-norm/AdaIN kernel, which
+    # measured SLOWER than XLA's own fusion (BASELINE.md) and stays off.
     use_pallas: bool = False
+    use_pallas_norm: bool = False
     # phase-decomposed decoder upsample+conv (exact rewrite, 9/25 the MACs);
     # automatically disabled in parity_mode (float summation order differs)
     fuse_upsample: bool = True
-    # data-parallel mesh axis size (1 = single chip); see parallel/mesh.py
+    # total mesh size (1 = single chip); see parallel/mesh.py
     num_devices: int = 1
+    # council (member) parallel axis size within num_devices; >1 selects the
+    # explicit shard_map trainer (parallel/council_shard.py). num_devices
+    # must be divisible by it; the rest is the data axis.
+    council_parallel: int = 1
     # rematerialize per-member generator forwards in the backward pass
     # (jax.checkpoint): ~1/3 more gen FLOPs for a large activation-memory
     # cut — enables bigger per-chip batches at 256px
@@ -226,6 +244,11 @@ class Config:
     # store Adam first moments in bfloat16 ("bfloat16" | "float32"):
     # halves mu memory; second moments stay float32 for rsqrt precision
     adam_mu_dtype: str = "float32"
+    # one style draw per direction per step, shared by the discriminator
+    # fakes and the generator update (lets XLA CSE one full council forward
+    # per step). False = reference semantics: fresh z inside each update
+    # method (trainer_council.py gen_update / dis_update draw independently).
+    shared_z: bool = True
 
     # unknown YAML keys, preserved verbatim
     extras: Dict[str, Any] = field(default_factory=dict)
@@ -261,6 +284,9 @@ class Config:
         if self.council.council_polarity not in ("own_real", "own_fake"):
             raise ValueError(
                 f"unsupported council_polarity: {self.council.council_polarity}")
+        if self.council.mask_activation not in ("tanh_affine", "sigmoid"):
+            raise ValueError(
+                f"unsupported mask_activation: {self.council.mask_activation}")
         if not (self.do_a2b or self.do_b2a):
             raise ValueError("at least one of do_a2b / do_b2a must be true")
         if self.compute_dtype not in ("bfloat16", "float32"):

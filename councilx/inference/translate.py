@@ -41,7 +41,10 @@ class Translator:
             focus_mask=self.focus, kernel_init=make_kernel_init(cfg.init),
             dtype=dtype,
             fuse_upsample=cfg.fuse_upsample and not cfg.parity_mode,
-            use_pallas=cfg.use_pallas and not cfg.parity_mode)
+            use_pallas=cfg.use_pallas and not cfg.parity_mode,
+            use_pallas_norm=cfg.use_pallas_norm and not cfg.parity_mode,
+            mask_activation=cfg.council.mask_activation)
+        self.mask_activation = cfg.council.mask_activation
 
     @partial(jax.jit, static_argnums=0)
     def _translate(self, params, x: jnp.ndarray, z: jnp.ndarray
@@ -52,7 +55,7 @@ class Translator:
         out = self.gen.apply({"params": params}, c, z.astype(self.dtype),
                              method=AdaINGen.decode)
         if self.focus:
-            x_t, mask = composite_with_mask(out, x)
+            x_t, mask = composite_with_mask(out, x, self.mask_activation)
             return x_t.astype(jnp.float32), mask.astype(jnp.float32)
         return out.astype(jnp.float32), None
 

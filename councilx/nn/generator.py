@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, List, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -51,6 +52,7 @@ class ContentEncoder(nn.Module):
     kernel_init: Callable = nn.initializers.he_normal()
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_norm: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -61,16 +63,19 @@ class ContentEncoder(nn.Module):
         dim = self.dim
         x = Conv2dBlock(dim, 7, 1, 3, norm="in", activation=self.activ,
                         pad_type=self.pad_type, kernel_init=self.kernel_init,
-                        dtype=self.dtype, use_pallas=self.use_pallas)(x)
+                        dtype=self.dtype, use_pallas=self.use_pallas,
+                        use_pallas_norm=self.use_pallas_norm)(x)
         for _ in range(self.n_downsample):
             x = Conv2dBlock(2 * dim, 4, 2, 1, norm="in",
                             activation=self.activ, pad_type=self.pad_type,
                             kernel_init=self.kernel_init, dtype=self.dtype,
-                            use_pallas=self.use_pallas)(x)
+                            use_pallas=self.use_pallas,
+                            use_pallas_norm=self.use_pallas_norm)(x)
             dim *= 2
         x = ResBlocks(self.n_res, dim, norm="in", activation=self.activ,
                       pad_type=self.pad_type, kernel_init=self.kernel_init,
-                      dtype=self.dtype, use_pallas=self.use_pallas)(x)
+                      dtype=self.dtype, use_pallas=self.use_pallas,
+                      use_pallas_norm=self.use_pallas_norm)(x)
         return x
 
 
@@ -128,6 +133,12 @@ class Decoder(nn.Module):
     # 9/25 the MACs; off in parity mode (summation order differs slightly)
     fuse_upsample: bool = True
     use_pallas: bool = False
+    use_pallas_norm: bool = False
+    # mask-channel activation ([VERIFY] dual, see CouncilConfig): with
+    # "sigmoid" the final conv emits raw pre-activations; tanh is applied to
+    # the RGB channels only, the mask channel stays a logit for the caller's
+    # sigmoid. Parameter tree is identical in both modes.
+    mask_activation: str = "tanh_affine"
 
     @staticmethod
     def num_adain_params(dim: int, n_res: int) -> int:
@@ -149,7 +160,8 @@ class Decoder(nn.Module):
             cursor += 2 * dim
         x = ResBlocks(self.n_res, dim, norm="adain", activation=self.activ,
                       pad_type=self.pad_type, kernel_init=self.kernel_init,
-                      dtype=self.dtype, use_pallas=self.use_pallas)(x, pairs)
+                      dtype=self.dtype, use_pallas=self.use_pallas,
+                      use_pallas_norm=self.use_pallas_norm)(x, pairs)
         for _ in range(self.n_upsample):
             x = Conv2dBlock(dim // 2, 5, 1, 2, norm="ln",
                             activation=self.activ, pad_type=self.pad_type,
@@ -157,9 +169,14 @@ class Decoder(nn.Module):
                             upsample2x=True,
                             fuse_upsample=self.fuse_upsample)(x)
             dim //= 2
+        sigmoid_mask = (self.mask_activation == "sigmoid"
+                        and self.output_dim > 3)
         x = Conv2dBlock(self.output_dim, 7, 1, 3, norm="none",
-                        activation="tanh", pad_type=self.pad_type,
+                        activation="none" if sigmoid_mask else "tanh",
+                        pad_type=self.pad_type,
                         kernel_init=self.kernel_init, dtype=self.dtype)(x)
+        if sigmoid_mask:
+            x = jnp.concatenate([jnp.tanh(x[..., :3]), x[..., 3:]], axis=-1)
         return x
 
 
@@ -183,7 +200,9 @@ class AdaINGen(nn.Module):
     kernel_init: Callable = nn.initializers.he_normal()
     dtype: Dtype = jnp.float32
     fuse_upsample: bool = True  # see Decoder.fuse_upsample
-    use_pallas: bool = False    # per-object kernel choice (no process global)
+    use_pallas: bool = False    # per-object kernel choices (no process global)
+    use_pallas_norm: bool = False
+    mask_activation: str = "tanh_affine"  # see Decoder.mask_activation
 
     @property
     def content_dim(self) -> int:
@@ -198,7 +217,8 @@ class AdaINGen(nn.Module):
             dim=self.dim, n_downsample=self.n_downsample, n_res=self.n_res,
             activ=self.activ, pad_type=self.pad_type,
             kernel_init=self.kernel_init, dtype=self.dtype,
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas,
+            use_pallas_norm=self.use_pallas_norm)
         self.enc_style = StyleEncoder(
             dim=self.dim, style_dim=self.style_dim,
             n_downsample=self.n_downsample, activ=self.activ,
@@ -209,7 +229,9 @@ class AdaINGen(nn.Module):
             n_upsample=self.n_downsample, n_res=self.n_res, activ=self.activ,
             pad_type=self.pad_type, kernel_init=self.kernel_init,
             dtype=self.dtype, fuse_upsample=self.fuse_upsample,
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas,
+            use_pallas_norm=self.use_pallas_norm,
+            mask_activation=self.mask_activation)
         self.mlp = MLP(
             out_dim=Decoder.num_adain_params(self.content_dim, self.n_res),
             dim=self.mlp_dim, n_blk=self.mlp_n_blk, norm="none",
@@ -241,14 +263,22 @@ class AdaINGen(nn.Module):
         return self.decode(content, style)
 
 
-def composite_with_mask(decoded: jnp.ndarray, x_in: jnp.ndarray
+def composite_with_mask(decoded: jnp.ndarray, x_in: jnp.ndarray,
+                        mask_activation: str = "tanh_affine"
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Focus-mask compositing (reference: trainer_council.py gen_update).
 
-    ``decoded`` is the 4-channel tanh decoder output. The mask channel is
-    mapped from tanh range [-1, 1] to [0, 1]; the translated image is
-    ``mask * rgb + (1 - mask) * input``. Returns (composited_rgb, mask).
+    ``decoded`` is the 4-channel decoder output. With
+    ``mask_activation="tanh_affine"`` the mask channel is tanh output mapped
+    from [-1, 1] to [0, 1]; with ``"sigmoid"`` it is a raw logit (the decoder
+    left it unactivated — see Decoder.mask_activation) squashed by sigmoid.
+    The translated image is ``mask * rgb + (1 - mask) * input``.
+    Returns (composited_rgb, mask).
     """
     rgb = decoded[..., :3]
-    mask = (decoded[..., 3:4] + 1.0) * 0.5
+    m = decoded[..., 3:4]
+    if mask_activation == "sigmoid":
+        mask = jax.nn.sigmoid(m)
+    else:
+        mask = (m + 1.0) * 0.5
     return mask * rgb + (1.0 - mask) * x_in, mask

@@ -88,10 +88,22 @@ class CouncilShardTrainer(CouncilTrainer):
         self._jit_step_fn = jax.jit(fn, donate_argnums=(0,))
 
     def init_state(self, rng: jax.Array) -> TrainState:
-        state = super().init_state(rng)
         if self._state_sharding is None:
-            self._build(state)
-        return jax.device_put(state, self._state_sharding)
+            # _build only needs leaf shapes/structure — use the abstract
+            # state so no throwaway full init happens on one device
+            self._build(jax.eval_shape(super().init_state, rng))
+        # jitted init with out_shardings: valid on multi-host meshes where
+        # device_put of host-local values is not
+        return jax.jit(super().init_state,
+                       out_shardings=self._state_sharding)(rng)
+
+    def place_state(self, state_host) -> TrainState:
+        """Place a host-side (numpy) TrainState (restored checkpoint) onto
+        the mesh with the member/data sharding. Multi-host safe."""
+        if self._state_sharding is None:
+            self._build(state_host)
+        return jax.jit(lambda s: s,
+                       out_shardings=self._state_sharding)(state_host)
 
     # -- the shard-local step -------------------------------------------
 
@@ -114,12 +126,18 @@ class CouncilShardTrainer(CouncilTrainer):
         # reproduce the single-chip z stream exactly: build the global
         # (N, B_global, sd) draw (cheap) and slice this shard's
         # (members, batch) block
-        zs: Dict[str, jnp.ndarray] = {}
-        for di, d in enumerate(self.directions):
-            z_full = jax.random.normal(jax.random.fold_in(k_z, di),
+        def shard_z(fold: int) -> jnp.ndarray:
+            z_full = jax.random.normal(jax.random.fold_in(k_z, fold),
                                        (n, b_global, sd), self.dtype)
-            zs[d] = jax.lax.dynamic_slice(
+            return jax.lax.dynamic_slice(
                 z_full, (off, d_idx * b_local, 0), (m, b_local, sd))
+
+        zs = {d: shard_z(di) for di, d in enumerate(self.directions)}
+        # shared_z=False: independent draw for the discriminator fakes —
+        # same fold offsets as trainer._step so shard == single-chip
+        zs_dis = (zs if cfg.shared_z else
+                  {d: shard_z(100 + di)
+                   for di, d in enumerate(self.directions)})
 
         # local fakes + the all-gathered member stack (ICI collective #1)
         fakes_l: Dict[str, jnp.ndarray] = {}
@@ -127,7 +145,7 @@ class CouncilShardTrainer(CouncilTrainer):
         for d in self.directions:
             x_in, _ = inputs[d]
             x_t, _, _ = self._translate_members(state.params[d]["gen"],
-                                                x_in, zs[d])
+                                                x_in, zs_dis[d])
             fakes_l[d] = jax.lax.stop_gradient(x_t)
             fakes_all[d] = jax.lax.all_gather(fakes_l[d], "council",
                                               axis=0, tiled=True)
@@ -264,8 +282,9 @@ class CouncilShardTrainer(CouncilTrainer):
                              f"data-axis size {n_data}")
         if self._state_sharding is None:
             self._build(state)
-        x_a = jax.device_put(x_a, NamedSharding(self.mesh, P("data")))
-        x_b = jax.device_put(x_b, NamedSharding(self.mesh, P("data")))
+        from councilx.parallel.mesh import shard_batch
+        x_a = shard_batch(self.mesh, x_a)
+        x_b = shard_batch(self.mesh, x_b)
         with self.mesh:
             return self._jit_step_fn(state, x_a, x_b)
 

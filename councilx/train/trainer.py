@@ -61,6 +61,7 @@ class CouncilTrainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         use_pallas = cfg.use_pallas and not cfg.parity_mode
+        use_pallas_norm = cfg.use_pallas_norm and not cfg.parity_mode
         self.n = cfg.council.council_size
         self.directions = [d for d, on in (("a2b", cfg.do_a2b),
                                            ("b2a", cfg.do_b2a)) if on]
@@ -78,13 +79,16 @@ class CouncilTrainer:
             focus_mask=self.focus, kernel_init=make_kernel_init(cfg.init),
             dtype=self.dtype,
             fuse_upsample=cfg.fuse_upsample and not cfg.parity_mode,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, use_pallas_norm=use_pallas_norm,
+            mask_activation=cfg.council.mask_activation)
+        self.mask_activation = cfg.council.mask_activation
         d = cfg.dis
         dis_kwargs = dict(dim=d.dim, n_layer=d.n_layer, norm=d.norm,
                           activ=d.activ, num_scales=d.num_scales,
                           pad_type=d.pad_type, gan_type=d.gan_type,
                           kernel_init=make_kernel_init("gaussian"),
-                          dtype=self.dtype, use_pallas=use_pallas)
+                          dtype=self.dtype, use_pallas=use_pallas,
+                          use_pallas_norm=use_pallas_norm)
         self.dis = MsImageDis(input_dim=cfg.data.input_dim_a, **dis_kwargs)
         cdis_in = cfg.data.input_dim_a * (2 if self.conditional else 1)
         self.cdis = MsImageDis(input_dim=cdis_in, **dis_kwargs)
@@ -163,7 +167,7 @@ class CouncilTrainer:
             one = jax.checkpoint(one)
         outs, contents = jax.vmap(one)(gen_params, z)
         if self.focus:
-            x_t, mask = composite_with_mask(outs, x)
+            x_t, mask = composite_with_mask(outs, x, self.mask_activation)
             return x_t, mask, contents
         return outs, None, contents
 
@@ -251,7 +255,8 @@ class CouncilTrainer:
                 out = self.gen.apply({"params": p}, c_i, s,
                                      method=AdaINGen.decode)
                 if self.focus:
-                    xr, _ = composite_with_mask(out, x_in)
+                    xr, _ = composite_with_mask(out, x_in,
+                                                self.mask_activation)
                 else:
                     xr = out
                 return jnp.mean(jnp.abs(xr.astype(jnp.float32)
@@ -328,16 +333,25 @@ class CouncilTrainer:
         # each update method; sharing is the standard GAN pattern — D trains
         # on exactly the fakes G is then updated on — distributionally
         # identical, and it lets XLA CSE away one full council forward).
+        # shared_z=False restores the reference semantics: independent draws
+        # for the discriminator fakes (zs_dis) and the gen update (zs) — one
+        # extra council forward per step, no other change.
         zs = {d: jax.random.normal(jax.random.fold_in(k_z, di), (n, b, sd),
                                    self.dtype)
               for di, d in enumerate(self.directions)}
+        if cfg.shared_z:
+            zs_dis = zs
+        else:
+            zs_dis = {d: jax.random.normal(
+                jax.random.fold_in(k_z, 100 + di), (n, b, sd), self.dtype)
+                for di, d in enumerate(self.directions)}
 
         # detached fakes shared by both discriminator updates
         fakes: Dict[str, jnp.ndarray] = {}
         for d in self.directions:
             x_in, _ = inputs[d]
             x_t, _, _ = self._translate_members(state.params[d]["gen"],
-                                                x_in, zs[d])
+                                                x_in, zs_dis[d])
             fakes[d] = jax.lax.stop_gradient(x_t)
 
         params = {d: dict(state.params[d]) for d in self.directions}
@@ -449,6 +463,12 @@ class CouncilTrainer:
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
+
+    def place_state(self, state_host) -> TrainState:
+        """Place a host-side (numpy) TrainState (e.g. a restored checkpoint)
+        on the default device. Parallel trainers override with their mesh
+        shardings."""
+        return jax.device_put(state_host)
 
     def train_step(self, state: TrainState, x_a, x_b) -> Tuple[TrainState,
                                                                Dict]:
