@@ -38,6 +38,27 @@ def _get_async_ckptr():
     return _ASYNC_CKPTR
 
 
+def fetch_state_host(state):
+    """device_get that also works on multi-host sharded states.
+
+    Non-fully-addressable leaves (state sharded over a multi-process mesh)
+    are first replicated with a collective identity-jit — EVERY process must
+    call this (it is a collective); the full host copy then exists on every
+    process."""
+    leaves = jax.tree_util.tree_leaves(state)
+    if all(not isinstance(l, jax.Array) or l.is_fully_addressable
+           for l in leaves):
+        return jax.device_get(state)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def rep(l):
+        return NamedSharding(l.sharding.mesh, PartitionSpec())
+
+    out_sh = jax.tree_util.tree_map(rep, state)
+    replicated = jax.jit(lambda s: s, out_shardings=out_sh)(state)
+    return jax.device_get(replicated)
+
+
 def save_checkpoint(root: str, state, step: int, keep: int = 3,
                     async_save: bool = False) -> str:
     """Orbax snapshot of the TrainState at ``step``.
@@ -45,12 +66,17 @@ def save_checkpoint(root: str, state, step: int, keep: int = 3,
     ``async_save=True`` returns as soon as the device->host copy is done and
     writes in a background thread (orbax AsyncCheckpointer) so training
     continues — SURVEY.md §5.3. Call :func:`wait_for_checkpoints` before
-    reading the snapshot back or exiting."""
+    reading the snapshot back or exiting.
+
+    Multi-host: every process must call this (the device->host gather is a
+    collective); only process 0 touches the filesystem."""
     import orbax.checkpoint as ocp
 
-    os.makedirs(root, exist_ok=True)
     path = os.path.abspath(_ckpt_dir(root, step))
-    host_state = jax.device_get(state)
+    host_state = fetch_state_host(state)
+    if jax.process_index() != 0:
+        return path
+    os.makedirs(root, exist_ok=True)
     if async_save:
         ckptr = _get_async_ckptr()
         ckptr.save(path, host_state, force=True)
@@ -93,7 +119,7 @@ def restore_checkpoint(root: str, state_template) -> Tuple[Any, int]:
     step, path = found
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(os.path.abspath(path),
-                             item=jax.device_get(state_template))
+                             item=fetch_state_host(state_template))
     return restored, step
 
 

@@ -118,15 +118,21 @@ class DataLoader:
 
 
 def get_all_data_loaders(cfg: Config, synthetic: bool = False,
-                         synthetic_size: int = 64):
+                         synthetic_size: int = 64,
+                         batch_size: int = None, seed_offset: int = 0):
     """Reference: utils.py::get_all_data_loaders -> (train_a, train_b,
     test_a, test_b).
 
     Expects the reference folder layout under ``cfg.data.data_root``:
     trainA/ trainB/ testA/ testB/. ``synthetic=True`` substitutes
     deterministic synthetic data (tests, benchmarks, smoke runs).
+
+    Multi-host: pass ``batch_size`` = this process's share of the global
+    batch and ``seed_offset`` = process index so each host draws a disjoint
+    random stream (SURVEY.md §5.8 per-host input pipeline).
     """
     d = cfg.data
+    bs = batch_size or cfg.batch_size
 
     def make(split: str, train: bool):
         if synthetic:
@@ -147,9 +153,9 @@ def get_all_data_loaders(cfg: Config, synthetic: bool = False,
             else:
                 ds = ImageFolderDataset(os.path.join(d.data_root, split),
                                         new_size=d.new_size)
-        return DataLoader(ds, cfg.batch_size, shuffle=train,
+        return DataLoader(ds, bs, shuffle=train,
                           num_workers=d.num_workers, infinite=train,
-                          seed=0 if train else 1)
+                          seed=(0 if train else 1) + 2 * seed_offset)
 
     return (make("trainA", True), make("trainB", True),
             make("testA", False), make("testB", False))

@@ -61,8 +61,21 @@ def make_mesh(n_devices: Optional[int] = None, devices=None,
 
 
 def shard_batch(mesh: Mesh, batch) -> jax.Array:
-    """Place a host batch sharded over the mesh's data axis."""
-    return jax.device_put(batch, NamedSharding(mesh, P("data")))
+    """Place a batch sharded over the mesh's data axis.
+
+    Already-global jax.Arrays (built per-host via
+    multihost.make_global_batch) pass through untouched; host-local numpy
+    is device_put, which is only valid single-process (multi-host callers
+    must assemble the global array themselves — device_put of local data to
+    a global sharding would be wrong, so we refuse)."""
+    want = NamedSharding(mesh, P("data"))
+    if isinstance(batch, jax.Array) and not batch.is_fully_addressable:
+        return batch  # multi-host global array; trust the caller's sharding
+    if jax.process_count() > 1:
+        raise ValueError(
+            "multi-host run: pass batches through "
+            "councilx.parallel.multihost.make_global_batch, not raw arrays")
+    return jax.device_put(batch, want)
 
 
 class DataParallelTrainer(CouncilTrainer):
@@ -99,8 +112,18 @@ class DataParallelTrainer(CouncilTrainer):
         )
 
     def init_state(self, rng: jax.Array) -> TrainState:
-        state = super().init_state(rng)
-        return jax.device_put(state, self._replicated)
+        # jit with out_shardings instead of init-then-device_put: on a
+        # multi-host mesh device_put of host-local values is invalid; the
+        # jitted init is the documented path (each process materializes its
+        # addressable replicas only)
+        return jax.jit(super().init_state,
+                       out_shardings=self._replicated)(rng)
+
+    def place_state(self, state_host) -> TrainState:
+        """Place a host-side (numpy) TrainState, e.g. a restored checkpoint,
+        onto the mesh. Works single- and multi-host (numpy jit inputs are
+        treated as replicated; every process passes the same values)."""
+        return jax.jit(lambda s: s, out_shardings=self._replicated)(state_host)
 
     def train_step(self, state: TrainState, x_a, x_b
                    ) -> Tuple[TrainState, dict]:

@@ -30,30 +30,73 @@ from councilx.utils.images import write_html, write_sample_sheet
 from councilx.utils.logging import MetricLogger, prepare_sub_folder
 
 
+def make_trainer(cfg: Config) -> CouncilTrainer:
+    """Build the right trainer for the config's mesh settings:
+    num_devices == 1 -> single-device CouncilTrainer; > 1 -> GSPMD
+    data-parallel; council_parallel > 1 -> the explicit shard_map
+    ('data','council') trainer."""
+    if cfg.num_devices <= 1:
+        return CouncilTrainer(cfg)
+    from councilx.parallel.mesh import DataParallelTrainer, make_mesh
+    mesh = make_mesh(cfg.num_devices,
+                     council_parallel=cfg.council_parallel)
+    if cfg.council_parallel > 1:
+        from councilx.parallel.council_shard import CouncilShardTrainer
+        return CouncilShardTrainer(cfg, mesh)
+    return DataParallelTrainer(cfg, mesh)
+
+
 def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
           resume: bool = False, synthetic: bool = False,
           max_steps: Optional[int] = None, seed: int = 0,
           profile_steps: Optional[range] = None) -> Dict:
-    """Run training. Returns a summary dict (final step, throughput)."""
-    run_dir = os.path.join(output_path, run_name)
-    ckpt_dir, image_dir = prepare_sub_folder(run_dir)
-    logger = MetricLogger(run_dir)
-    with open(os.path.join(run_dir, "config.yaml"), "w") as f:
-        yaml.safe_dump(cfg.to_dict(), f)  # reference copies the config too
+    """Run training. Returns a summary dict (final step, throughput).
 
-    trainer = CouncilTrainer(cfg)
+    Multi-host: every participating process runs this same function after
+    jax.distributed initialization (SURVEY.md §5.8). Each host loads its
+    share of the global batch; collectives (train step, checkpoint gathers)
+    run on all processes; filesystem side effects are process-0 only.
+    """
+    from councilx.parallel import multihost
+
+    n_proc = jax.process_count()
+    primary = multihost.is_primary()
+    run_dir = os.path.join(output_path, run_name)
+    if primary:
+        ckpt_dir, image_dir = prepare_sub_folder(run_dir)
+        logger = MetricLogger(run_dir)
+        with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(cfg.to_dict(), f)  # reference copies the config
+    else:
+        ckpt_dir = os.path.join(run_dir, "checkpoints")
+        image_dir = os.path.join(run_dir, "images")
+        logger = None
+
+    trainer = make_trainer(cfg)
+    mesh = getattr(trainer, "mesh", None)
     state = trainer.init_state(jax.random.PRNGKey(seed))
     start_step = 0
     if resume and latest_checkpoint(ckpt_dir):
-        state, start_step = restore_checkpoint(ckpt_dir, state)
+        host_state, start_step = restore_checkpoint(ckpt_dir, state)
+        state = trainer.place_state(host_state)
         print(f"resumed from iteration {start_step}")
 
+    local_bs = multihost.local_batch_size(cfg.batch_size)
     train_a, train_b, test_a, test_b = get_all_data_loaders(
-        cfg, synthetic=synthetic)
+        cfg, synthetic=synthetic, batch_size=local_bs,
+        seed_offset=jax.process_index())
     # fixed display batches (reference: display_size samples)
-    disp_n = min(cfg.display_size, cfg.batch_size)
+    disp_n = min(cfg.display_size, local_bs)
     disp_a = next(iter(test_a))[:disp_n]
     disp_train_a = next(iter(train_a))[:disp_n]
+    if n_proc > 1:
+        # one consistent display batch everywhere (sampling is replicated
+        # compute; all processes must see the same pixels)
+        from jax.experimental import multihost_utils
+        disp_a = np.asarray(
+            multihost_utils.broadcast_one_to_all(jnp.asarray(disp_a)))
+        disp_train_a = np.asarray(
+            multihost_utils.broadcast_one_to_all(jnp.asarray(disp_train_a)))
 
     aug_key = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
     crop_h, crop_w = cfg.data.crop_image_height, cfg.data.crop_image_width

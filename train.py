@@ -33,7 +33,18 @@ def main():
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax NaN checking (SURVEY.md §5.2; slow — "
                         "debugging only)")
+    # multi-host (SURVEY.md §5.8): run one process per host, all with the
+    # same command + these three flags (or the COUNCILX_COORDINATOR /
+    # COUNCILX_NUM_PROCESSES / COUNCILX_PROCESS_ID env vars)
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (multi-host runs)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args()
+
+    from councilx.parallel.multihost import maybe_init_distributed
+    maybe_init_distributed(args.coordinator, args.num_processes,
+                           args.process_id)
 
     if args.debug_nans:
         import jax
