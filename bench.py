@@ -43,6 +43,7 @@ def main():
         "compute_dtype": "bfloat16",
         "use_pallas": bool(int(os.environ.get("BENCH_PALLAS", "0"))),
         "remat": bool(int(os.environ.get("BENCH_REMAT", "0"))),
+        "remat_stages": bool(int(os.environ.get("BENCH_REMAT_STAGES", "0"))),
         "adam_mu_dtype": ("bfloat16"
                           if int(os.environ.get("BENCH_MU_BF16", "0"))
                           else "float32"),

@@ -241,6 +241,10 @@ class Config:
     # (jax.checkpoint): ~1/3 more gen FLOPs for a large activation-memory
     # cut — enables bigger per-chip batches at 256px
     remat: bool = False
+    # finer: checkpoint each decoder stage separately so a backward keeps
+    # at most one stage's internals live (the 256px batch-16 peak is the
+    # tail stage's (B,256,256,64) temporaries)
+    remat_stages: bool = False
     # store Adam first moments in bfloat16 ("bfloat16" | "float32"):
     # halves mu memory; second moments stay float32 for rsqrt precision
     adam_mu_dtype: str = "float32"

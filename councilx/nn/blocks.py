@@ -277,10 +277,14 @@ class Conv2dBlock(nn.Module):
     dtype: Dtype = jnp.float32
     upsample2x: bool = False
     fuse_upsample: bool = True
-    # per-object kernel choice (from Config.use_pallas via the model ctor) —
-    # a module attribute, not a process global, so two models with
-    # different settings can't contaminate each other's traces
+    # per-object kernel choices (from Config via the model ctor) — module
+    # attributes, not process globals, so two models with different
+    # settings can't contaminate each other's traces.
+    # use_pallas: the 3x3 resblock conv kernel (ops/pallas_conv.py);
+    # use_pallas_norm: the fused instance-norm/AdaIN kernel — measured
+    # SLOWER than XLA's fusion end-to-end (BASELINE.md), kept benchable.
     use_pallas: bool = False
+    use_pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -302,7 +306,8 @@ class Conv2dBlock(nn.Module):
                 kernel_init=self.kernel_init, name="Conv_0")(x.shape[-1])
             y = upsample2x_conv5x5(x.astype(self.dtype),
                                    kernel.astype(self.dtype),
-                                   bias, self.pad_type)
+                                   bias, self.pad_type,
+                                   use_pallas=self.use_pallas)
         elif self.norm == "sn":
             x = pad2d(x, self.padding, self.pad_type)
             y = SpectralConv(
@@ -312,17 +317,34 @@ class Conv2dBlock(nn.Module):
                 kernel_init=self.kernel_init, dtype=self.dtype)(x)
         else:
             x = pad2d(x, self.padding, self.pad_type)
-            y = nn.Conv(
-                features=self.out_dim,
-                kernel_size=(self.kernel_size, self.kernel_size),
-                strides=(self.stride, self.stride),
-                padding="VALID", use_bias=True,
-                kernel_init=self.kernel_init,
-                bias_init=nn.initializers.zeros,
-                dtype=self.dtype, param_dtype=jnp.float32, name="Conv_0")(x)
+            y = None
+            if (self.use_pallas and self.kernel_size == 3
+                    and self.stride == 1 and self.padding == 1):
+                from councilx.ops.pallas_conv import (conv3x3_eligible,
+                                                      conv3x3_valid)
+                kshape = (3, 3, x.shape[-1], self.out_dim)
+                if conv3x3_eligible(x.shape, kshape):
+                    # identical parameter tree to the nn.Conv branch
+                    kernel, bias = _ConvParams(
+                        features=self.out_dim, kernel_size=(3, 3),
+                        kernel_init=self.kernel_init,
+                        name="Conv_0")(x.shape[-1])
+                    y = (conv3x3_valid(x.astype(self.dtype),
+                                       kernel.astype(self.dtype))
+                         + bias.astype(self.dtype))
+            if y is None:
+                y = nn.Conv(
+                    features=self.out_dim,
+                    kernel_size=(self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride),
+                    padding="VALID", use_bias=True,
+                    kernel_init=self.kernel_init,
+                    bias_init=nn.initializers.zeros,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="Conv_0")(x)
 
         if self.norm == "in":
-            if self.use_pallas:
+            if self.use_pallas_norm:
                 from councilx.ops.pallas_norm import instance_norm_pallas
                 y = instance_norm_pallas(y)
             else:
@@ -337,7 +359,7 @@ class Conv2dBlock(nn.Module):
             if adain_params is None:
                 raise ValueError("adain norm requires adain_params")
             gamma, beta = adain_params
-            if self.use_pallas:
+            if self.use_pallas_norm:
                 from councilx.ops.pallas_norm import instance_norm_pallas
                 y = instance_norm_pallas(y, gamma.astype(jnp.float32),
                                          beta.astype(jnp.float32))
@@ -411,6 +433,7 @@ class ResBlock(nn.Module):
     kernel_init: Callable = nn.initializers.he_normal()
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -420,11 +443,13 @@ class ResBlock(nn.Module):
         y = Conv2dBlock(self.dim, 3, 1, 1, norm=self.norm,
                         activation=self.activation, pad_type=self.pad_type,
                         kernel_init=self.kernel_init, dtype=self.dtype,
-                        use_pallas=self.use_pallas)(x, p0)
+                        use_pallas=self.use_pallas,
+                        use_pallas_norm=self.use_pallas_norm)(x, p0)
         y = Conv2dBlock(self.dim, 3, 1, 1, norm=self.norm,
                         activation="none", pad_type=self.pad_type,
                         kernel_init=self.kernel_init, dtype=self.dtype,
-                        use_pallas=self.use_pallas)(y, p1)
+                        use_pallas=self.use_pallas,
+                        use_pallas_norm=self.use_pallas_norm)(y, p1)
         return x + y
 
 
@@ -439,6 +464,7 @@ class ResBlocks(nn.Module):
     kernel_init: Callable = nn.initializers.he_normal()
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -449,7 +475,8 @@ class ResBlocks(nn.Module):
             x = ResBlock(self.dim, norm=self.norm,
                          activation=self.activation, pad_type=self.pad_type,
                          kernel_init=self.kernel_init, dtype=self.dtype,
-                         use_pallas=self.use_pallas)(x, p)
+                         use_pallas=self.use_pallas,
+                         use_pallas_norm=self.use_pallas_norm)(x, p)
         return x
 
 

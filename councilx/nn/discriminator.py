@@ -39,18 +39,21 @@ class _PatchDis(nn.Module):
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = self.dim
         x = Conv2dBlock(dim, 4, 2, 1, norm="none", activation=self.activ,
                         pad_type=self.pad_type, kernel_init=self.kernel_init,
-                        dtype=self.dtype, use_pallas=self.use_pallas)(x)
+                        dtype=self.dtype, use_pallas=self.use_pallas,
+                        use_pallas_norm=self.use_pallas_norm)(x)
         for _ in range(self.n_layer - 1):
             x = Conv2dBlock(2 * dim, 4, 2, 1, norm=self.norm,
                             activation=self.activ, pad_type=self.pad_type,
                             kernel_init=self.kernel_init, dtype=self.dtype,
-                            use_pallas=self.use_pallas)(x)
+                            use_pallas=self.use_pallas,
+                            use_pallas_norm=self.use_pallas_norm)(x)
             dim *= 2
         x = nn.Conv(1, (1, 1), padding="VALID",
                     kernel_init=self.kernel_init,
@@ -75,6 +78,7 @@ class MsImageDis(nn.Module):
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
@@ -84,7 +88,9 @@ class MsImageDis(nn.Module):
                 input_dim=self.input_dim, dim=self.dim, n_layer=self.n_layer,
                 norm=self.norm, activ=self.activ, pad_type=self.pad_type,
                 kernel_init=self.kernel_init, dtype=self.dtype,
-                use_pallas=self.use_pallas, name=f"scale_{s}")(x))
+                use_pallas=self.use_pallas,
+                use_pallas_norm=self.use_pallas_norm,
+                name=f"scale_{s}")(x))
             if s != self.num_scales - 1:
                 x = avg_pool_3x3_s2(x)
         return outputs

@@ -139,6 +139,14 @@ class Decoder(nn.Module):
     # the RGB channels only, the mask channel stays a logit for the caller's
     # sigmoid. Parameter tree is identical in both modes.
     mask_activation: str = "tanh_affine"
+    # stage-granular rematerialization: checkpoint each decoder stage
+    # (resblocks / each upsample conv / final conv) separately so a
+    # backward pass keeps at most ONE stage's internals live — the peak at
+    # 256px batch>8 is the (B,256,256,64) tail-stage temporaries
+    # (BASELINE.md batch-scaling notes). Explicit names keep the parameter
+    # tree identical to the unremat path (nn.remat would otherwise rename
+    # modules to Checkpoint*).
+    remat_stages: bool = False
 
     @staticmethod
     def num_adain_params(dim: int, n_res: int) -> int:
@@ -158,23 +166,30 @@ class Decoder(nn.Module):
             gamma = adain_vec[:, cursor + dim:cursor + 2 * dim]
             pairs.append((gamma, beta))
             cursor += 2 * dim
-        x = ResBlocks(self.n_res, dim, norm="adain", activation=self.activ,
-                      pad_type=self.pad_type, kernel_init=self.kernel_init,
-                      dtype=self.dtype, use_pallas=self.use_pallas,
-                      use_pallas_norm=self.use_pallas_norm)(x, pairs)
+        RB = nn.remat(ResBlocks) if self.remat_stages else ResBlocks
+        CB = nn.remat(Conv2dBlock) if self.remat_stages else Conv2dBlock
+        x = RB(self.n_res, dim, norm="adain", activation=self.activ,
+               pad_type=self.pad_type, kernel_init=self.kernel_init,
+               dtype=self.dtype, use_pallas=self.use_pallas,
+               use_pallas_norm=self.use_pallas_norm,
+               name="ResBlocks_0")(x, pairs)
+        idx = 0
         for _ in range(self.n_upsample):
-            x = Conv2dBlock(dim // 2, 5, 1, 2, norm="ln",
-                            activation=self.activ, pad_type=self.pad_type,
-                            kernel_init=self.kernel_init, dtype=self.dtype,
-                            upsample2x=True,
-                            fuse_upsample=self.fuse_upsample)(x)
+            x = CB(dim // 2, 5, 1, 2, norm="ln",
+                   activation=self.activ, pad_type=self.pad_type,
+                   kernel_init=self.kernel_init, dtype=self.dtype,
+                   upsample2x=True,
+                   fuse_upsample=self.fuse_upsample,
+                   name=f"Conv2dBlock_{idx}")(x)
             dim //= 2
+            idx += 1
         sigmoid_mask = (self.mask_activation == "sigmoid"
                         and self.output_dim > 3)
-        x = Conv2dBlock(self.output_dim, 7, 1, 3, norm="none",
-                        activation="none" if sigmoid_mask else "tanh",
-                        pad_type=self.pad_type,
-                        kernel_init=self.kernel_init, dtype=self.dtype)(x)
+        x = CB(self.output_dim, 7, 1, 3, norm="none",
+               activation="none" if sigmoid_mask else "tanh",
+               pad_type=self.pad_type,
+               kernel_init=self.kernel_init, dtype=self.dtype,
+               name=f"Conv2dBlock_{idx}")(x)
         if sigmoid_mask:
             x = jnp.concatenate([jnp.tanh(x[..., :3]), x[..., 3:]], axis=-1)
         return x
@@ -203,6 +218,7 @@ class AdaINGen(nn.Module):
     use_pallas: bool = False    # per-object kernel choices (no process global)
     use_pallas_norm: bool = False
     mask_activation: str = "tanh_affine"  # see Decoder.mask_activation
+    remat_stages: bool = False  # see Decoder.remat_stages
 
     @property
     def content_dim(self) -> int:
@@ -231,7 +247,8 @@ class AdaINGen(nn.Module):
             dtype=self.dtype, fuse_upsample=self.fuse_upsample,
             use_pallas=self.use_pallas,
             use_pallas_norm=self.use_pallas_norm,
-            mask_activation=self.mask_activation)
+            mask_activation=self.mask_activation,
+            remat_stages=self.remat_stages)
         self.mlp = MLP(
             out_dim=Decoder.num_adain_params(self.content_dim, self.n_res),
             dim=self.mlp_dim, n_blk=self.mlp_n_blk, norm="none",

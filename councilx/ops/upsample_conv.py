@@ -79,11 +79,14 @@ def _phase_kernels(kernel: jnp.ndarray) -> jnp.ndarray:
 def upsample2x_conv5x5(x: jnp.ndarray, kernel: jnp.ndarray,
                        bias: Optional[jnp.ndarray],
                        pad_type: str = "reflect",
-                       precision=None) -> jnp.ndarray:
+                       precision=None, use_pallas: bool = False
+                       ) -> jnp.ndarray:
     """Fused, exact equivalent of :func:`upsample2x_conv5x5_reference`.
 
     One 3x3 conv with 4x output channels + depth-to-space for the interior,
-    reference-path strips for the 2-pixel output border.
+    reference-path strips for the 2-pixel output border. With
+    ``use_pallas`` the 3x3 conv runs on the Pallas kernel
+    (ops/pallas_conv.py) when the shape is eligible.
     """
     b_, h, w, cin = x.shape
     cout = kernel.shape[-1]
@@ -95,9 +98,15 @@ def upsample2x_conv5x5(x: jnp.ndarray, kernel: jnp.ndarray,
     # overwritten below); edge-pad keeps values in range for bf16
     xp = pad2d(x, 1, "replicate")
     k4 = _phase_kernels(kernel).astype(x.dtype)
-    y4 = jax.lax.conv_general_dilated(
-        xp, k4, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    y4 = None
+    if use_pallas and precision is None:
+        from councilx.ops.pallas_conv import conv3x3_eligible, conv3x3_valid
+        if conv3x3_eligible(xp.shape, k4.shape):
+            y4 = conv3x3_valid(xp, k4)
+    if y4 is None:
+        y4 = jax.lax.conv_general_dilated(
+            xp, k4, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
     # (B,H,W,4C): channel blocks ordered (a,b) -> depth-to-space
     y = y4.reshape(b_, h, w, 2, 2, cout)
     y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b_, 2 * h, 2 * w, cout)

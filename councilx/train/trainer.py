@@ -80,7 +80,8 @@ class CouncilTrainer:
             dtype=self.dtype,
             fuse_upsample=cfg.fuse_upsample and not cfg.parity_mode,
             use_pallas=use_pallas, use_pallas_norm=use_pallas_norm,
-            mask_activation=cfg.council.mask_activation)
+            mask_activation=cfg.council.mask_activation,
+            remat_stages=cfg.remat_stages)
         self.mask_activation = cfg.council.mask_activation
         d = cfg.dis
         dis_kwargs = dict(dim=d.dim, n_layer=d.n_layer, norm=d.norm,

@@ -23,12 +23,16 @@ def test_remat_step_matches_plain():
     r = np.random.RandomState(0)
     x = jnp.asarray(r.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32))
     metrics = {}
-    for remat in (False, True):
-        raw = dict(_RAW, remat=remat)
+    variants = {"plain": {}, "remat": {"remat": True},
+                "remat_stages": {"remat": True, "remat_stages": True}}
+    for name, over in variants.items():
+        raw = dict(_RAW, **over)
         tr = CouncilTrainer(Config.from_dict(raw))
         st = tr.init_state(jax.random.PRNGKey(0))
         st, m = tr.train_step(st, x, x)
         st, m = tr.train_step(st, x, x)  # second step: grads flowed equally
-        metrics[remat] = {k: float(v) for k, v in m.items()}
-    for k, v in metrics[False].items():
-        assert abs(v - metrics[True][k]) < 1e-4, (k, v, metrics[True][k])
+        metrics[name] = {k: float(v) for k, v in m.items()}
+    for variant in ("remat", "remat_stages"):
+        for k, v in metrics["plain"].items():
+            assert abs(v - metrics[variant][k]) < 1e-4, \
+                (variant, k, v, metrics[variant][k])

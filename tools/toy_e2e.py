@@ -66,6 +66,20 @@ def main():
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--council", type=int, default=2)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--directions", default="a2b",
+                    choices=["a2b", "b2a", "both"],
+                    help="a2b removes the bar; b2a learns to ADD it "
+                         "(reference do_a2b/do_b2a flags)")
+    ap.add_argument("--cdis_ratio", type=int, default=1,
+                    help="council_dis_relative_iteration")
+    ap.add_argument("--cdis_ratio_mode", default="k_per_step",
+                    choices=["k_per_step", "every_kth"])
+    ap.add_argument("--resume_mid", action="store_true",
+                    help="stop at steps/2, resume from the snapshot, finish "
+                         "— validates checkpoint/resume mid-training")
+    ap.add_argument("--shared_z", type=int, default=1)
+    ap.add_argument("--mask_activation", default="tanh_affine",
+                    choices=["tanh_affine", "sigmoid"])
     args = ap.parse_args()
 
     import jax
@@ -87,9 +101,15 @@ def main():
         "image_save_iter": 0, "image_display_iter": 0,
         "snapshot_save_iter": args.steps,
         "max_iter": args.steps,
+        "do_a2b": args.directions in ("a2b", "both"),
+        "do_b2a": args.directions in ("b2a", "both"),
+        "shared_z": bool(args.shared_z),
         "recon_x_w": 10.0, "recon_s_w": 1.0, "recon_c_w": 1.0,
         "council": {"council_size": args.council, "council_w": 0.2,
-                    "council_start_at_iter": 0},
+                    "council_start_at_iter": 0,
+                    "council_dis_relative_iteration": args.cdis_ratio,
+                    "cdis_ratio_mode": args.cdis_ratio_mode,
+                    "mask_activation": args.mask_activation},
         "focus_loss": {"focus_enabled": True, "mask_total_w": 0.05,
                        "mask_zero_or_one_w": 0.01},
         "gen": {"dim": 32, "mlp_dim": 128, "style_dim": 8,
@@ -100,51 +120,73 @@ def main():
         "data_root": data_root, "num_workers": 4,
     })
 
-    summary = train(cfg, output_path=args.out, run_name="toy",
-                    max_steps=args.steps)
+    if args.resume_mid:
+        half = args.steps // 2
+        summary = train(cfg, output_path=args.out, run_name="toy",
+                        max_steps=half)
+        assert summary["step"] == half, summary
+        summary = train(cfg, output_path=args.out, run_name="toy",
+                        resume=True)
+        assert summary["step"] == args.steps, \
+            f"resume did not continue to {args.steps}: {summary}"
+    else:
+        summary = train(cfg, output_path=args.out, run_name="toy",
+                        max_steps=args.steps)
 
-    # ---- evaluate: translate test-A, measure bar removal + mask focus ----
+    # ---- evaluate: per trained direction, measure the edit (bar removal
+    # for a2b, bar ADDITION for b2a) + mask focus inside the bar band ----
     trainer = CouncilTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
     ckpt_dir = os.path.join(args.out, "toy", "checkpoints")
     state, step = restore_checkpoint(ckpt_dir, state)
-
-    ds = ImageFolderDataset(os.path.join(data_root, "testA"),
-                            new_size=args.size)
-    xs = np.stack([ds[i] for i in range(16)])
-    x = jnp.asarray((xs.astype(np.float32) - 127.5) / 127.5)
-    x_t, mask = trainer.sample(state, x, direction="a2b",
-                               rng=jax.random.PRNGKey(1))
-    x_t = np.asarray(jax.device_get(x_t), np.float32)  # (N, B, H, W, 3)
-    mask = np.asarray(jax.device_get(mask), np.float32)
-    x_np = np.asarray(jax.device_get(x), np.float32)
+    state = trainer.place_state(state)
 
     bar = slice(BAR[0] * args.size // 64, BAR[1] * args.size // 64)
     m = 8 * args.size // 64
-    diff = np.abs(x_t - x_np[None]).mean(axis=(0, 1, 4))  # (H, W)
-    change_in = float(diff[bar, m:-m].mean())
-    change_out = float(np.concatenate(
-        [diff[:bar.start], diff[bar.stop:]]).mean())
-    mask_map = mask.mean(axis=(0, 1, 4))
-    mask_in = float(mask_map[bar, m:-m].mean())
-    mask_out = float(np.concatenate(
-        [mask_map[:bar.start], mask_map[bar.stop:]]).mean())
-
-    save_image_grid(os.path.join(args.out, "toy_samples.jpg"),
-                    np.concatenate([x_np, x_t[0], x_t[-1]]), nrow=16)
-
     out = {
         "metric": "toy_glasses_removal_e2e",
         "steps": int(step),
+        "directions": args.directions,
+        "cdis_ratio": args.cdis_ratio,
+        "cdis_ratio_mode": args.cdis_ratio_mode,
+        "resume_mid": bool(args.resume_mid),
         "images_per_sec": round(summary["images_per_sec"], 2),
-        "change_in_bar": round(change_in, 4),
-        "change_outside": round(change_out, 4),
-        "edit_locality": round(change_in / max(change_out, 1e-6), 2),
-        "mask_in_bar": round(mask_in, 4),
-        "mask_outside": round(mask_out, 4),
-        "mask_locality": round(mask_in / max(mask_out, 1e-6), 2),
-        "pass": bool(change_in > 2 * change_out and mask_in > mask_out),
     }
+    ok = True
+    for direction in trainer.directions:
+        src = "testA" if direction == "a2b" else "testB"
+        ds = ImageFolderDataset(os.path.join(data_root, src),
+                                new_size=args.size)
+        xs = np.stack([ds[i] for i in range(16)])
+        x = jnp.asarray((xs.astype(np.float32) - 127.5) / 127.5)
+        x_t, mask = trainer.sample(state, x, direction=direction,
+                                   rng=jax.random.PRNGKey(1))
+        x_t = np.asarray(jax.device_get(x_t), np.float32)  # (N,B,H,W,3)
+        mask = np.asarray(jax.device_get(mask), np.float32)
+        x_np = np.asarray(jax.device_get(x), np.float32)
+
+        diff = np.abs(x_t - x_np[None]).mean(axis=(0, 1, 4))  # (H, W)
+        change_in = float(diff[bar, m:-m].mean())
+        change_out = float(np.concatenate(
+            [diff[:bar.start], diff[bar.stop:]]).mean())
+        mask_map = mask.mean(axis=(0, 1, 4))
+        mask_in = float(mask_map[bar, m:-m].mean())
+        mask_out = float(np.concatenate(
+            [mask_map[:bar.start], mask_map[bar.stop:]]).mean())
+
+        save_image_grid(
+            os.path.join(args.out, f"toy_samples_{direction}.jpg"),
+            np.concatenate([x_np, x_t[0], x_t[-1]]), nrow=16)
+
+        p = f"{direction}_"
+        out[p + "change_in_bar"] = round(change_in, 4)
+        out[p + "change_outside"] = round(change_out, 4)
+        out[p + "edit_locality"] = round(change_in / max(change_out, 1e-6), 2)
+        out[p + "mask_in_bar"] = round(mask_in, 4)
+        out[p + "mask_outside"] = round(mask_out, 4)
+        out[p + "mask_locality"] = round(mask_in / max(mask_out, 1e-6), 2)
+        ok = ok and (change_in > 2 * change_out and mask_in > mask_out)
+    out["pass"] = bool(ok)
     print(json.dumps(out))
 
 
