@@ -20,6 +20,27 @@ from typing import Any, Dict
 
 import yaml
 
+from councilx.schedules import WeightSchedule, extract_schedules
+
+# every schedulable loss weight (canonical name -> accepted YAML aliases);
+# any of these may be written as a scalar OR a schedule dict — see
+# councilx/schedules.py (SURVEY.md §2.2 "misc config-gated extras")
+_WEIGHT_ALIASES: Dict[str, tuple] = {
+    "gan_w": ("gan_w",),
+    "recon_x_w": ("recon_x_w",),
+    "recon_s_w": ("recon_s_w",),
+    "recon_c_w": ("recon_c_w",),
+    "vgg_w": ("vgg_w",),
+    "council_w": ("council_w",),
+    "mask_total_w": ("mask_total_w", "mask_size_w"),
+    "mask_zero_or_one_w": ("mask_zero_or_one_w", "mask_binary_w"),
+    "mask_tv_w": ("mask_tv_w",),
+}
+# canonical weight keys that live in the council sub-config (the rest are
+# top-level Config fields) — used to re-nest schedules in to_dict
+_COUNCIL_WEIGHTS = ("council_w", "mask_total_w", "mask_zero_or_one_w",
+                    "mask_tv_w")
+
 
 def _first(d: Dict[str, Any], *names, default=None):
     """Return the first present key among ``names`` (flat lookup)."""
@@ -254,6 +275,11 @@ class Config:
     # method (trainer_council.py gen_update / dis_update draw independently).
     shared_z: bool = True
 
+    # non-constant loss-weight schedules by canonical weight name (the typed
+    # weight fields above hold each schedule's peak ``base``; constant
+    # weights never appear here) — see councilx/schedules.py
+    loss_schedules: Dict[str, WeightSchedule] = field(default_factory=dict)
+
     # unknown YAML keys, preserved verbatim
     extras: Dict[str, Any] = field(default_factory=dict)
 
@@ -261,14 +287,18 @@ class Config:
     @classmethod
     def from_dict(cls, raw: Dict[str, Any]) -> "Config":
         raw = dict(raw or {})
+        schedules = extract_schedules(raw, _WEIGHT_ALIASES)
         known = {f.name for f in dataclasses.fields(cls)
-                 if f.name not in ("gen", "dis", "council", "data", "extras")}
+                 if f.name not in ("gen", "dis", "council", "data", "extras",
+                                   "loss_schedules")}
         kwargs: Dict[str, Any] = {k: v for k, v in raw.items() if k in known}
         kwargs["gen"] = GenConfig.from_dict(dict(raw.get("gen", {}) or {}))
         kwargs["dis"] = DisConfig.from_dict(dict(raw.get("dis", {}) or {}))
         kwargs["council"] = CouncilConfig.from_dict(raw)
         kwargs["data"] = DataConfig.from_dict(raw)
-        consumed = known | {"gen", "dis", "council", "focus_loss", "data"}
+        kwargs["loss_schedules"] = schedules
+        consumed = known | {"gen", "dis", "council", "focus_loss", "data",
+                            "loss_schedules"}
         kwargs["extras"] = {k: v for k, v in raw.items() if k not in consumed}
         cfg = cls(**kwargs)
         cfg.validate()
@@ -306,7 +336,14 @@ class Config:
     def to_dict(self) -> Dict[str, Any]:
         d = dataclasses.asdict(self)
         extras = d.pop("extras")
+        d.pop("loss_schedules")
         d.update(extras)
+        # re-emit non-constant weights as schedule dicts where they came
+        # from (council-block weights nested, the rest top-level) so the
+        # dict round-trips through from_dict
+        for canon, sched in self.loss_schedules.items():
+            target = d["council"] if canon in _COUNCIL_WEIGHTS else d
+            target[canon] = sched.to_value()
         return d
 
     # convenience aliases used across the codebase

@@ -221,7 +221,8 @@ class CouncilShardTrainer(CouncilTrainer):
             loss = 0.0
             for d in self.directions:
                 _, real = inputs[d]
-                loss += self._dis_loss_dir(tree[d], fakes_l[d], real)
+                loss += self._dis_loss_dir(tree[d], fakes_l[d], real,
+                                           state.step)
             return jax.lax.pmean(loss, "data")
 
         tree = {d: params[d]["dis"] for d in self.directions}

@@ -182,12 +182,30 @@ class CouncilTrainer:
     # per-phase losses
     # ------------------------------------------------------------------
 
-    def _dis_loss_dir(self, dis_params, fakes, real):
+    def _w(self, name: str, base, step):
+        """Effective loss weight at the traced ``step``.
+
+        Constant weights (the default) return the Python float unchanged so
+        the XLA graph is identical to the pre-schedule code; dict-valued
+        YAML weights evaluate their warmup/annealing schedule in-jit
+        (councilx/schedules.py; SURVEY.md §2.2 misc config-gated extras).
+        """
+        sched = self.cfg.loss_schedules.get(name)
+        if sched is None or sched.is_constant:
+            return base
+        return sched.value(step)
+
+    def _dis_loss_dir(self, dis_params, fakes, real, step):
         def member(p, f):
             return gan_dis_loss(self._dis_apply(p, f),
                                 self._dis_apply(p, real), self.gan_type)
 
-        return jnp.sum(jax.vmap(member, in_axes=(0, 0))(dis_params, fakes))
+        # gan_w weights the discriminator objective too (MUNIT semantics:
+        # trainer.py::dis_update's loss_dis_total = gan_w * sum) — a no-op
+        # at the shipped gan_w=1.0
+        w = self._w("gan_w", self.cfg.gan_w, step)
+        return w * jnp.sum(jax.vmap(member, in_axes=(0, 0))(dis_params,
+                                                            fakes))
 
     def _gen_loss_dir(self, gen_params, dis_params, cdis_params,
                       x_in, z, step, out_offset: int = 0,
@@ -215,7 +233,7 @@ class CouncilTrainer:
             member_adv = jax.checkpoint(member_adv)
         loss_adv = jnp.sum(jax.vmap(member_adv)(dis_params, x_t))
         m["loss_gen_adv"] = loss_adv
-        total = cfg.gan_w * loss_adv
+        total = self._w("gan_w", cfg.gan_w, step) * loss_adv
 
         # council mutual-agreement (gated by council_start_at_iter);
         # under remat the pairwise grid scans one discriminator at a time
@@ -227,7 +245,7 @@ class CouncilTrainer:
                                       polarity=cc.council_polarity)
             gate = (step >= cc.council_start_at_iter).astype(jnp.float32)
             m["loss_gen_council"] = loss_c
-            total += cc.council_w * gate * loss_c
+            total += self._w("council_w", cc.council_w, step) * gate * loss_c
 
         # focus-mask losses (mean over members -> rescaled by member_scale
         # so shard-local sums equal the global mean)
@@ -237,12 +255,15 @@ class CouncilTrainer:
             lb = mask_binary_loss(mask) * member_scale
             m["loss_gen_mask_size"] = ls
             m["loss_gen_mask_binary"] = lb
-            total += gate_f * (cc.mask_total_w * ls
-                               + cc.mask_zero_or_one_w * lb)
+            total += gate_f * (
+                self._w("mask_total_w", cc.mask_total_w, step) * ls
+                + self._w("mask_zero_or_one_w", cc.mask_zero_or_one_w,
+                          step) * lb)
             if cc.mask_tv_w:
                 lt = mask_tv_loss(mask) * member_scale
                 m["loss_gen_mask_tv"] = lt
-                total += gate_f * cc.mask_tv_w * lt
+                total += gate_f * self._w("mask_tv_w", cc.mask_tv_w,
+                                          step) * lt
 
         # MUNIT-inherited reconstruction terms (config-gated; reference keeps
         # recon_x_w / recon_s_w / recon_c_w in the YAMLs)
@@ -267,7 +288,7 @@ class CouncilTrainer:
                 member_recon = jax.checkpoint(member_recon)
             loss_rx = jnp.sum(jax.vmap(member_recon)(gen_params, contents))
             m["loss_gen_recon_x"] = loss_rx
-            total += cfg.recon_x_w * loss_rx
+            total += self._w("recon_x_w", cfg.recon_x_w, step) * loss_rx
 
         if cfg.recon_s_w:
             def member_s(p, x_i):
@@ -284,7 +305,7 @@ class CouncilTrainer:
                                        - z.astype(jnp.float32))
                                ) * x_t.shape[0]
             m["loss_gen_recon_s"] = loss_rs
-            total += cfg.recon_s_w * loss_rs
+            total += self._w("recon_s_w", cfg.recon_s_w, step) * loss_rs
 
         if cfg.vgg_w and self.vgg_params is not None:
             from councilx.nn.vgg import compute_vgg_loss
@@ -294,7 +315,7 @@ class CouncilTrainer:
 
             loss_vgg = jnp.sum(jax.vmap(member_vgg)(x_t))
             m["loss_gen_vgg"] = loss_vgg
-            total += cfg.vgg_w * loss_vgg
+            total += self._w("vgg_w", cfg.vgg_w, step) * loss_vgg
 
         if cfg.recon_c_w:
             def member_c(p, x_i):
@@ -309,7 +330,7 @@ class CouncilTrainer:
                         - jax.lax.stop_gradient(contents).astype(jnp.float32))
             ) * x_t.shape[0]
             m["loss_gen_recon_c"] = loss_rc
-            total += cfg.recon_c_w * loss_rc
+            total += self._w("recon_c_w", cfg.recon_c_w, step) * loss_rc
 
         return total, m
 
@@ -419,7 +440,8 @@ class CouncilTrainer:
             loss = 0.0
             for d in self.directions:
                 _, real = inputs[d]
-                loss += self._dis_loss_dir(tree[d], fakes[d], real)
+                loss += self._dis_loss_dir(tree[d], fakes[d], real,
+                                           state.step)
             return loss
 
         tree = {d: params[d]["dis"] for d in self.directions}

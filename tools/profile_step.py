@@ -69,7 +69,7 @@ def main():
     fakes = fwd(gp, xb, z)
 
     def dis_loss(dp, fakes, real):
-        return trainer._dis_loss_dir(dp, fakes, real)
+        return trainer._dis_loss_dir(dp, fakes, real, state.step)
 
     t_dis = timeit(jax.jit(lambda dp: jax.grad(
         lambda p: dis_loss(p, fakes, xb))(dp)), dp)
@@ -85,6 +85,42 @@ def main():
         return l
 
     t_genloss = timeit(jax.jit(lambda gp: jax.grad(gen_full_loss)(gp)), gp)
+
+    # term-by-term: rebuild the gen loss with single terms enabled, grad each
+    def term_times():
+        import dataclasses
+        base = dict(gan_w=0.0, recon_x_w=0.0, recon_s_w=0.0, recon_c_w=0.0)
+        out = {}
+        variants = {
+            "adv only": dict(gan_w=1.0),
+            "recon_x only": dict(recon_x_w=10.0),
+            "recon_s only": dict(recon_s_w=1.0),
+            "recon_c only": dict(recon_c_w=1.0),
+            "council only": {},
+            "mask only": {},
+        }
+        for name, ov in variants.items():
+            kw = dict(base, **ov)
+            c2 = dataclasses.replace(cfg, **kw)
+            if name == "mask only":
+                c2 = dataclasses.replace(
+                    c2, council=dataclasses.replace(c2.council,
+                                                    council_w=0.0))
+            elif name != "council only":
+                c2 = dataclasses.replace(
+                    c2, council=dataclasses.replace(
+                        c2.council, council_w=0.0, focus_enabled=True,
+                        mask_total_w=0.0, mask_zero_or_one_w=0.0))
+            t2 = CouncilTrainer(c2)
+
+            def loss(gp):
+                l, _ = t2._gen_loss_dir(gp, dp, cp, xb, z, state.step)
+                return l
+
+            out[name] = timeit(jax.jit(lambda gp: jax.grad(loss)(gp)), gp)
+        return out
+
+    terms = term_times()
 
     # full step LAST: the jitted step donates its input state each call, so
     # re-feed the returned state
@@ -107,6 +143,8 @@ def main():
     print(f"dis update grad      : {t_dis*1e3:8.1f} ms")
     print(f"council-dis grad     : {t_cdis*1e3:8.1f} ms")
     print(f"gen full loss grad   : {t_genloss*1e3:8.1f} ms")
+    for name, t in terms.items():
+        print(f"  gen grad {name:12s}: {t*1e3:8.1f} ms")
 
 
 if __name__ == "__main__":
