@@ -53,6 +53,15 @@ class ContentEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     use_pallas_norm: bool = False
+    # stage-granular rematerialization (see Decoder.remat_stages): at 256px
+    # batch>8 the encoder's (B,64,64,256) resblock internals are the other
+    # half of the memory peak; per-stage checkpointing bounds the backward
+    # to one stage's internals. Explicit names keep the parameter tree
+    # identical to the unremat path. (The StyleEncoder is deliberately NOT
+    # stage-rematted: measured, it RAISES the whole-step peak by ~134 MB —
+    # forcing its stage boundaries live interacts badly with XLA's own
+    # scheduling of the style branch.)
+    remat_stages: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -60,22 +69,27 @@ class ContentEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        CB = nn.remat(Conv2dBlock) if self.remat_stages else Conv2dBlock
+        RB = nn.remat(ResBlocks) if self.remat_stages else ResBlocks
         dim = self.dim
-        x = Conv2dBlock(dim, 7, 1, 3, norm="in", activation=self.activ,
-                        pad_type=self.pad_type, kernel_init=self.kernel_init,
-                        dtype=self.dtype, use_pallas=self.use_pallas,
-                        use_pallas_norm=self.use_pallas_norm)(x)
-        for _ in range(self.n_downsample):
-            x = Conv2dBlock(2 * dim, 4, 2, 1, norm="in",
-                            activation=self.activ, pad_type=self.pad_type,
-                            kernel_init=self.kernel_init, dtype=self.dtype,
-                            use_pallas=self.use_pallas,
-                            use_pallas_norm=self.use_pallas_norm)(x)
+        x = CB(dim, 7, 1, 3, norm="in", activation=self.activ,
+               pad_type=self.pad_type, kernel_init=self.kernel_init,
+               dtype=self.dtype, use_pallas=self.use_pallas,
+               use_pallas_norm=self.use_pallas_norm,
+               name="Conv2dBlock_0")(x)
+        for i in range(self.n_downsample):
+            x = CB(2 * dim, 4, 2, 1, norm="in",
+                   activation=self.activ, pad_type=self.pad_type,
+                   kernel_init=self.kernel_init, dtype=self.dtype,
+                   use_pallas=self.use_pallas,
+                   use_pallas_norm=self.use_pallas_norm,
+                   name=f"Conv2dBlock_{i + 1}")(x)
             dim *= 2
-        x = ResBlocks(self.n_res, dim, norm="in", activation=self.activ,
-                      pad_type=self.pad_type, kernel_init=self.kernel_init,
-                      dtype=self.dtype, use_pallas=self.use_pallas,
-                      use_pallas_norm=self.use_pallas_norm)(x)
+        x = RB(self.n_res, dim, norm="in", activation=self.activ,
+               pad_type=self.pad_type, kernel_init=self.kernel_init,
+               dtype=self.dtype, use_pallas=self.use_pallas,
+               use_pallas_norm=self.use_pallas_norm,
+               name="ResBlocks_0")(x)
         return x
 
 
@@ -234,7 +248,8 @@ class AdaINGen(nn.Module):
             activ=self.activ, pad_type=self.pad_type,
             kernel_init=self.kernel_init, dtype=self.dtype,
             use_pallas=self.use_pallas,
-            use_pallas_norm=self.use_pallas_norm)
+            use_pallas_norm=self.use_pallas_norm,
+            remat_stages=self.remat_stages)
         self.enc_style = StyleEncoder(
             dim=self.dim, style_dim=self.style_dim,
             n_downsample=self.n_downsample, activ=self.activ,
