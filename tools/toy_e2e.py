@@ -80,6 +80,14 @@ def main():
     ap.add_argument("--shared_z", type=int, default=1)
     ap.add_argument("--mask_activation", default="tanh_affine",
                     choices=["tanh_affine", "sigmoid"])
+    ap.add_argument("--mask_w_start", type=int, default=0,
+                    help="start the mask size/binary penalties only at this "
+                         "step (via councilx.schedules weight dicts). The "
+                         "b2a toy task NEEDS this: with the penalty on from "
+                         "step 0 the mask collapses closed before the "
+                         "adversarial signal can learn to ADD the bar "
+                         "(dead-mask local optimum; measured in round 2), "
+                         "while bar REMOVAL escapes it")
     args = ap.parse_args()
 
     import jax
@@ -110,8 +118,14 @@ def main():
                     "council_dis_relative_iteration": args.cdis_ratio,
                     "cdis_ratio_mode": args.cdis_ratio_mode,
                     "mask_activation": args.mask_activation},
-        "focus_loss": {"focus_enabled": True, "mask_total_w": 0.05,
-                       "mask_zero_or_one_w": 0.01},
+        "focus_loss": {
+            "focus_enabled": True,
+            "mask_total_w": ({"base": 0.05,
+                              "start_at_iter": args.mask_w_start}
+                             if args.mask_w_start else 0.05),
+            "mask_zero_or_one_w": ({"base": 0.01,
+                                    "start_at_iter": args.mask_w_start}
+                                   if args.mask_w_start else 0.01)},
         "gen": {"dim": 32, "mlp_dim": 128, "style_dim": 8,
                 "n_downsample": 2, "n_res": 2},
         "dis": {"dim": 32, "n_layer": 3, "num_scales": 2},
