@@ -14,8 +14,10 @@ BASELINE.md "Reference throughput estimate") purely to report a ratio; the
 absolute value is the real measurement.
 
 Env overrides: BENCH_BATCH (default 8), BENCH_WARMUP (5), BENCH_STEPS (30),
-BENCH_PALLAS (0/1: fused pallas instance-norm kernels), BENCH_REMAT (0/1:
-rematerialize generator forwards — enables larger batches).
+BENCH_COUNCIL (4), BENCH_PALLAS (0/1: pallas conv kernels),
+BENCH_REMAT (0/1: member-level generator remat), BENCH_REMAT_STAGES (0/1:
+stage-granular encoder/decoder remat), BENCH_MU_BF16 (0/1: bf16 Adam first
+moments). The batch-16 sweep built from these is in BASELINE.md.
 """
 
 import json
@@ -37,6 +39,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
+    council = int(os.environ.get("BENCH_COUNCIL", "4"))
 
     cfg = Config.from_dict({
         "batch_size": batch,
@@ -47,7 +50,7 @@ def main():
         "adam_mu_dtype": ("bfloat16"
                           if int(os.environ.get("BENCH_MU_BF16", "0"))
                           else "float32"),
-        "council": {"council_size": 4, "council_w": 0.2,
+        "council": {"council_size": council, "council_w": 0.2,
                     "council_start_at_iter": 0},
         "focus_loss": {"focus_enabled": True},
         "gen": {"dim": 64, "mlp_dim": 256, "style_dim": 8,
@@ -83,7 +86,9 @@ def main():
 
     images_per_sec_per_chip = batch * steps / dt / n_chips
     print(json.dumps({
-        "metric": "images_per_sec_per_chip_256px_council4_train",
+        "metric": (f"images_per_sec_per_chip_256px_council{council}_train"
+                   if council != 4 else
+                   "images_per_sec_per_chip_256px_council4_train"),
         "value": round(images_per_sec_per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec_per_chip

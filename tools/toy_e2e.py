@@ -82,12 +82,21 @@ def main():
                     choices=["tanh_affine", "sigmoid"])
     ap.add_argument("--mask_w_start", type=int, default=0,
                     help="start the mask size/binary penalties only at this "
-                         "step (via councilx.schedules weight dicts). The "
-                         "b2a toy task NEEDS this: with the penalty on from "
-                         "step 0 the mask collapses closed before the "
-                         "adversarial signal can learn to ADD the bar "
-                         "(dead-mask local optimum; measured in round 2), "
-                         "while bar REMOVAL escapes it")
+                         "step (exercises councilx.schedules weight dicts "
+                         "end-to-end)")
+    ap.add_argument("--no_focus", action="store_true",
+                    help="disable the focus mask. REQUIRED for the b2a "
+                         "(bar-ADDITION) task: with focus on, recon_x "
+                         "(w=10) drives the mask to 0 within ~50 steps "
+                         "(output=input is a perfect reconstruction) and "
+                         "the rgb branch receives no gradient where the "
+                         "mask is closed, so an addition can never "
+                         "bootstrap — a dead-region saddle measured in "
+                         "round 2 (even with mask penalties delayed to "
+                         "step 300). Removal (a2b) escapes because the "
+                         "bar's salience gives D an immediate in-band "
+                         "signal. The reference's masked configs are "
+                         "a2b-only (SURVEY.md §2.1 row 2)")
     args = ap.parse_args()
 
     import jax
@@ -119,7 +128,7 @@ def main():
                     "cdis_ratio_mode": args.cdis_ratio_mode,
                     "mask_activation": args.mask_activation},
         "focus_loss": {
-            "focus_enabled": True,
+            "focus_enabled": not args.no_focus,
             "mask_total_w": ({"base": 0.05,
                               "start_at_iter": args.mask_w_start}
                              if args.mask_w_start else 0.05),
@@ -176,17 +185,12 @@ def main():
         x_t, mask = trainer.sample(state, x, direction=direction,
                                    rng=jax.random.PRNGKey(1))
         x_t = np.asarray(jax.device_get(x_t), np.float32)  # (N,B,H,W,3)
-        mask = np.asarray(jax.device_get(mask), np.float32)
         x_np = np.asarray(jax.device_get(x), np.float32)
 
         diff = np.abs(x_t - x_np[None]).mean(axis=(0, 1, 4))  # (H, W)
         change_in = float(diff[bar, m:-m].mean())
         change_out = float(np.concatenate(
             [diff[:bar.start], diff[bar.stop:]]).mean())
-        mask_map = mask.mean(axis=(0, 1, 4))
-        mask_in = float(mask_map[bar, m:-m].mean())
-        mask_out = float(np.concatenate(
-            [mask_map[:bar.start], mask_map[bar.stop:]]).mean())
 
         save_image_grid(
             os.path.join(args.out, f"toy_samples_{direction}.jpg"),
@@ -196,10 +200,18 @@ def main():
         out[p + "change_in_bar"] = round(change_in, 4)
         out[p + "change_outside"] = round(change_out, 4)
         out[p + "edit_locality"] = round(change_in / max(change_out, 1e-6), 2)
-        out[p + "mask_in_bar"] = round(mask_in, 4)
-        out[p + "mask_outside"] = round(mask_out, 4)
-        out[p + "mask_locality"] = round(mask_in / max(mask_out, 1e-6), 2)
-        ok = ok and (change_in > 2 * change_out and mask_in > mask_out)
+        ok = ok and change_in > 2 * change_out
+        if mask is not None:
+            mask = np.asarray(jax.device_get(mask), np.float32)
+            mask_map = mask.mean(axis=(0, 1, 4))
+            mask_in = float(mask_map[bar, m:-m].mean())
+            mask_out = float(np.concatenate(
+                [mask_map[:bar.start], mask_map[bar.stop:]]).mean())
+            out[p + "mask_in_bar"] = round(mask_in, 4)
+            out[p + "mask_outside"] = round(mask_out, 4)
+            out[p + "mask_locality"] = round(mask_in / max(mask_out, 1e-6),
+                                             2)
+            ok = ok and mask_in > mask_out
     out["pass"] = bool(ok)
     print(json.dumps(out))
 
