@@ -31,6 +31,9 @@ import jax.numpy as jnp
 
 from councilx.config import Config
 from councilx.train.trainer import CouncilTrainer
+from councilx.utils.platform import apply_env_platform
+
+apply_env_platform()
 
 V100_REFERENCE_ESTIMATE = 3.0  # images/sec — see BASELINE.md; estimate only
 

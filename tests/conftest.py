@@ -17,6 +17,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# the suite is dominated by XLA CPU compiles; the persistent cache makes
+# re-runs of unchanged tests start in seconds (COUNCILX_NO_COMPILE_CACHE=1
+# disables, e.g. when timing cold compiles)
+from councilx.utils.platform import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
