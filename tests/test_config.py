@@ -14,12 +14,27 @@ CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
     "male2female_council_folder.yaml",
     "anime2face_council_folder.yaml",
     "smoke_tiny.yaml",
+    "galsses_council_scheduled.yaml",   # loss-weight schedule dicts
 ])
 def test_shipped_configs_load(name):
     cfg = load_config(os.path.join(CONFIG_DIR, name))
     assert cfg.council.council_size >= 1
     assert cfg.gen.dim > 0
     assert cfg.data.crop_image_height > 0
+
+
+def test_scheduled_config_parses_schedules():
+    cfg = load_config(os.path.join(CONFIG_DIR,
+                                   "galsses_council_scheduled.yaml"))
+    assert set(cfg.loss_schedules) == {"council_w", "mask_total_w"}
+    s = cfg.loss_schedules["council_w"]
+    assert (s.base, s.start_at_iter, s.warmup_iters) == (0.2, 10000, 10000)
+    assert abs(float(s.value(15000)) - 0.1) < 1e-6      # mid-warmup
+    m = cfg.loss_schedules["mask_total_w"]
+    assert m.anneal == "cosine"
+    assert abs(float(m.value(10 ** 6)) - 0.00125) < 1e-9
+    # base lands in the typed field so term pruning still works
+    assert cfg.council.council_w == 0.2
 
 
 def test_reference_flat_and_nested_keys():
