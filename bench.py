@@ -89,9 +89,7 @@ def main():
 
     images_per_sec_per_chip = batch * steps / dt / n_chips
     print(json.dumps({
-        "metric": (f"images_per_sec_per_chip_256px_council{council}_train"
-                   if council != 4 else
-                   "images_per_sec_per_chip_256px_council4_train"),
+        "metric": f"images_per_sec_per_chip_256px_council{council}_train",
         "value": round(images_per_sec_per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec_per_chip

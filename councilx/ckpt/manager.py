@@ -68,21 +68,24 @@ def save_checkpoint(root: str, state, step: int, keep: int = 3,
     continues — SURVEY.md §5.3. Call :func:`wait_for_checkpoints` before
     reading the snapshot back or exiting.
 
-    Multi-host: every process must call this (the device->host gather is a
-    collective); only process 0 touches the filesystem."""
+    Multi-host: EVERY process must call this — the device->host gather is a
+    collective, and orbax's Checkpointer.save itself performs a global sync
+    in multi-process mode (calling it on process 0 alone deadlocks the
+    job; measured). All processes pass the same shared-filesystem path;
+    orbax writes the (host-replicated numpy) leaves from the primary host
+    only."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(_ckpt_dir(root, step))
     host_state = fetch_state_host(state)
-    if jax.process_index() != 0:
-        return path
     os.makedirs(root, exist_ok=True)
     if async_save:
         ckptr = _get_async_ckptr()
         ckptr.save(path, host_state, force=True)
     else:
         ocp.PyTreeCheckpointer().save(path, host_state, force=True)
-    _gc_old(root, keep)
+    if jax.process_index() == 0:
+        _gc_old(root, keep)
     return path
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -136,8 +137,12 @@ def get_all_data_loaders(cfg: Config, synthetic: bool = False,
 
     def make(split: str, train: bool):
         if synthetic:
+            # crc32, NOT hash(): str hash is PYTHONHASHSEED-salted, which
+            # would give every process (and every invocation) different
+            # "deterministic" synthetic data
             ds = SyntheticImageDataset(synthetic_size, d.new_size,
-                                       seed=hash(split) % (2 ** 31))
+                                       seed=zlib.crc32(split.encode())
+                                       % (2 ** 31))
         else:
             # reference get_all_data_loaders supports both folder configs
             # (data_root + trainA/...) and filelist configs

@@ -323,7 +323,8 @@ class Conv2dBlock(nn.Module):
                 from councilx.ops.pallas_conv import (conv3x3_eligible,
                                                       conv3x3_valid)
                 kshape = (3, 3, x.shape[-1], self.out_dim)
-                if conv3x3_eligible(x.shape, kshape):
+                if conv3x3_eligible(x.shape, kshape,
+                                    jnp.dtype(self.dtype).itemsize):
                     # identical parameter tree to the nn.Conv branch
                     kernel, bias = _ConvParams(
                         features=self.out_dim, kernel_size=(3, 3),

@@ -125,10 +125,16 @@ def _conv3x3_pallas_rows(xp: jnp.ndarray, k: jnp.ndarray, hb: int,
     )(xp, k_cat)
 
 
-def conv3x3_eligible(xp_shape: Tuple[int, ...], k_shape: Tuple[int, ...]
-                     ) -> bool:
-    """Shapes this kernel handles efficiently & legally on TPU (VMEM plans
-    computed for bf16, the training dtype)."""
+def conv3x3_eligible(xp_shape: Tuple[int, ...], k_shape: Tuple[int, ...],
+                     itemsize: int = 2) -> bool:
+    """Shapes this kernel handles efficiently & legally on TPU.
+
+    ``itemsize`` must match the dtype the conv will actually run in (2 for
+    bf16 — the training default — 4 for f32): the VMEM plans scale with it,
+    and the forward/backward impls pick their row blocks with the real
+    dtype, so gating with the wrong itemsize would pass shapes whose f32
+    plan does not fit.
+    """
     if len(xp_shape) != 4 or len(k_shape) != 4:
         return False
     b, hp, wp, c = xp_shape
@@ -141,9 +147,10 @@ def conv3x3_eligible(xp_shape: Tuple[int, ...], k_shape: Tuple[int, ...]
     if h < 8 or w < 8:
         return False
     # fwd plan, dgrad plan (h+2 rows), and wgrad plan must all fit
-    if _pick_hb(h, w, c, o) is None or _pick_hb(h + 2, w + 2, o, c) is None:
+    if (_pick_hb(h, w, c, o, itemsize) is None
+            or _pick_hb(h + 2, w + 2, o, c, itemsize) is None):
         return False
-    return _wgrad_pick_hb(h, w, c, o) is not None
+    return _wgrad_pick_hb(h, w, c, o, itemsize) is not None
 
 
 # ---------------------------------------------------------------------------

@@ -101,7 +101,7 @@ def upsample2x_conv5x5(x: jnp.ndarray, kernel: jnp.ndarray,
     y4 = None
     if use_pallas and precision is None:
         from councilx.ops.pallas_conv import conv3x3_eligible, conv3x3_valid
-        if conv3x3_eligible(xp.shape, k4.shape):
+        if conv3x3_eligible(xp.shape, k4.shape, xp.dtype.itemsize):
             y4 = conv3x3_valid(xp, k4)
     if y4 is None:
         y4 = jax.lax.conv_general_dilated(

@@ -23,9 +23,12 @@ input-rounding error by a small constant vs direct conv (the transforms
 sum up to 4 inputs, adding ~2 bits of dynamic range per tile); fp32 is
 tested to 1e-5 against lax.conv (tests/test_winograd.py).
 
-Reference parity: this replaces lax.conv_general_dilated inside
-Conv2dBlock's 3x3 path (networks.py::ResBlock convs) — same math, fewer
-MACs.
+Status: a BENCHMARKED EXPERIMENT, not integrated into any model path —
+measured ~10x SLOWER than XLA's direct conv on TPU because the 16x
+transform intermediates blow out HBM traffic (BASELINE.md round-2 notes).
+Nothing under councilx/nn imports it; it ships with its numerics tests
+(tests/test_winograd.py) as the record of why the FLOP-reduction route
+loses here.
 """
 
 from __future__ import annotations

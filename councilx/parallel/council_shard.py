@@ -292,10 +292,15 @@ class CouncilShardTrainer(CouncilTrainer):
     def sample(self, state: TrainState, x, direction: str = "a2b",
                rng=None):
         """Gather the member-sharded generator params, then sample as usual
-        (sampling is rare; a one-off all-gather is fine)."""
-        full = jax.device_get(state.params[direction]["gen"])
+        (sampling is rare; a one-off all-gather is fine). Uses
+        fetch_state_host, which handles non-fully-addressable arrays on
+        multi-process meshes — so under multi-host EVERY process must call
+        sample (it is a collective); see train/loop.py."""
+        from councilx.ckpt.manager import fetch_state_host
+
+        full = fetch_state_host(state.params[direction]["gen"])
         if rng is None:
-            rng = jax.random.fold_in(jax.device_get(state.rng), 7)
+            rng = jax.random.fold_in(fetch_state_host(state.rng), 7)
         z = jax.random.normal(rng, (self.n, x.shape[0],
                                     self.cfg.gen.style_dim), self.dtype)
         return self._jit_sample(full, x.astype(self.dtype), z)

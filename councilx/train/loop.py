@@ -74,12 +74,30 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
 
     trainer = make_trainer(cfg)
     mesh = getattr(trainer, "mesh", None)
+    if n_proc > 1 and mesh is None:
+        raise ValueError(
+            "multi-host training needs a mesh trainer: set num_devices to "
+            "the GLOBAL device count (and optionally council_parallel)")
     state = trainer.init_state(jax.random.PRNGKey(seed))
     start_step = 0
     if resume and latest_checkpoint(ckpt_dir):
         host_state, start_step = restore_checkpoint(ckpt_dir, state)
         state = trainer.place_state(host_state)
-        print(f"resumed from iteration {start_step}")
+        if primary:
+            print(f"resumed from iteration {start_step}")
+    if n_proc > 1:
+        # every process resolved --resume against its OWN filesystem; on
+        # non-shared disks they can disagree, which would silently
+        # desynchronize the replicated state and deadlock a later
+        # collective — fail loudly instead
+        from jax.experimental import multihost_utils
+        steps = np.asarray(
+            multihost_utils.process_allgather(jnp.asarray(start_step)))
+        if int(steps.min()) != int(steps.max()):
+            raise RuntimeError(
+                f"resume desynchronized across hosts: per-process start "
+                f"steps {steps.tolist()} — checkpoints must live on a "
+                f"shared filesystem (or be mirrored to every host)")
 
     local_bs = multihost.local_batch_size(cfg.batch_size)
     train_a, train_b, test_a, test_b = get_all_data_loaders(
@@ -112,9 +130,18 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
     while step < limit:
         a_u8, b_u8 = next(it_a), next(it_b)
         k = jax.random.fold_in(aug_key, step)
+        # each process augments a DIFFERENT slice of the global batch; fold
+        # in the process index so the random crops/flips differ too
+        k = jax.random.fold_in(k, jax.process_index())
         ka, kb = jax.random.split(k)
         x_a = augment_batch(ka, jnp.asarray(a_u8), crop_h, crop_w, train=True)
         x_b = augment_batch(kb, jnp.asarray(b_u8), crop_h, crop_w, train=True)
+        if n_proc > 1:
+            # assemble the host-local rows into one globally-sharded batch
+            # (jax.make_array_from_process_local_data); trainers' batch
+            # sharding requires global arrays under multi-host
+            x_a = multihost.make_global_batch(mesh, np.asarray(x_a))
+            x_b = multihost.make_global_batch(mesh, np.asarray(x_b))
 
         if profile_steps and step == profile_steps.start:
             jax.profiler.start_trace(os.path.join(run_dir, "profile"))
@@ -134,13 +161,17 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
             t_window, window_steps = now, 0
             metrics = dict(metrics)
             metrics["images_per_sec"] = images_per_sec
-            logger.write(step, metrics)
+            if logger is not None:
+                logger.write(step, metrics)
 
+        # sampling runs on EVERY process (under multi-host it gathers
+        # sharded params — a collective); only process 0 writes files
         if cfg.image_save_iter and step % cfg.image_save_iter == 0:
             _write_samples(trainer, state, disp_a, disp_train_a, image_dir,
-                           step, crop_h, crop_w)
-            write_html(os.path.join(run_dir, "index.html"), image_dir, step,
-                       cfg.image_save_iter)
+                           step, crop_h, crop_w, write=primary)
+            if primary:
+                write_html(os.path.join(run_dir, "index.html"), image_dir,
+                           step, cfg.image_save_iter)
 
         # reference train.py: a rolling "current" sheet every
         # image_display_iter (overwritten in place, not archived)
@@ -149,10 +180,11 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
                               crop_h, crop_w, train=False)
             x_t, mask = trainer.sample(state, x,
                                        direction=trainer.directions[0])
-            write_sample_sheet(
-                image_dir, "current",
-                np.asarray(x), np.asarray(x_t),
-                np.asarray(mask) if mask is not None else None)
+            if primary:
+                write_sample_sheet(
+                    image_dir, "current",
+                    np.asarray(x), np.asarray(x_t),
+                    np.asarray(mask) if mask is not None else None)
 
         if cfg.snapshot_save_iter and step % cfg.snapshot_save_iter == 0:
             # async: the write happens in a background thread while
@@ -161,21 +193,25 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
 
     wait_for_checkpoints()
     save_checkpoint(ckpt_dir, state, step)
-    logger.close()
+    if logger is not None:
+        logger.close()
     return {"step": step, "images_per_sec": images_per_sec}
 
 
 def _write_samples(trainer: CouncilTrainer, state, test_u8, train_u8,
                    image_dir: str, step: int, crop_h: int,
-                   crop_w: int) -> None:
+                   crop_w: int, write: bool = True) -> None:
     """Per-member sample sheets for train and test batches (reference
-    Council_Trainer.sample + utils.write_2images)."""
+    Council_Trainer.sample + utils.write_2images). ``write=False`` still
+    runs the sampling (a collective under multi-host) but skips the file
+    writes (non-primary processes)."""
     for tag, batch in (("test", test_u8), ("train", train_u8)):
         x = augment_batch(jax.random.PRNGKey(0), jnp.asarray(batch), crop_h,
                           crop_w, train=False)
         for d in trainer.directions:
             x_t, mask = trainer.sample(state, x, direction=d)
-            write_sample_sheet(
-                image_dir, f"{tag}_{step:08d}",
-                np.asarray(x), np.asarray(x_t),
-                np.asarray(mask) if mask is not None else None)
+            if write:
+                write_sample_sheet(
+                    image_dir, f"{tag}_{step:08d}",
+                    np.asarray(x), np.asarray(x_t),
+                    np.asarray(mask) if mask is not None else None)

@@ -45,6 +45,36 @@ def _flatten(prefix, tree, out):
 
 
 @pytest.mark.slow
+def test_train_loop_two_process(tmp_path):
+    """The FULL train() loop under 2 real processes: per-host loaders,
+    global batch assembly, process-0-gated side effects, the collective
+    sample() path, and a multi-host resume (tests/mh_loop_worker.py)."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tests", "mh_loop_worker.py"),
+         str(pid), "2", str(port), str(tmp_path)],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        # two concurrent processes each compile the full loop's graph set
+        # (init, fused step, sample, augment, checkpoint gather) — ~20 min
+        # of XLA CPU compiles before the 6 actual steps
+        out, _ = p.communicate(timeout=2700)
+        outs.append(out.decode(errors="replace"))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"proc {pid}: OK" in out
+    # process-0-only side effects: metrics, sheets, html exist exactly once
+    run = tmp_path / "mh"
+    assert (run / "metrics.jsonl").exists()
+    assert (run / "index.html").exists()
+    assert (run / "images" / "current.jpg").exists()
+
+
+@pytest.mark.slow
 def test_two_process_matches_single_process(tmp_path):
     from tests.test_train_step import synthetic_batch, tiny_config
     from councilx.parallel.council_shard import CouncilShardTrainer

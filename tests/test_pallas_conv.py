@@ -46,6 +46,15 @@ def test_eligibility():
     assert conv3x3_eligible((1, 34, 34, 128), (3, 3, 128, 128))
 
 
+def test_eligibility_scales_with_itemsize():
+    """The headline resblock shape fits the bf16 VMEM plan but NOT f32;
+    callers pass the real itemsize so an f32 model falls back to XLA
+    instead of crashing on a None row-block plan."""
+    shape = ((32, 66, 66, 256), (3, 3, 256, 256))
+    assert conv3x3_eligible(*shape)                  # bf16 (default)
+    assert not conv3x3_eligible(*shape, itemsize=4)  # f32 must gate out
+
+
 def test_grad_matches_xla():
     r = np.random.default_rng(1)
     b, h, w, c = 1, 8, 8, 128

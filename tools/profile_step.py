@@ -106,7 +106,14 @@ def main():
                 c2 = dataclasses.replace(
                     c2, council=dataclasses.replace(c2.council,
                                                     council_w=0.0))
-            elif name != "council only":
+            elif name == "council only":
+                # keep council_w, zero the mask terms (the focus branch
+                # otherwise rides along and double-counts)
+                c2 = dataclasses.replace(
+                    c2, council=dataclasses.replace(
+                        c2.council, focus_enabled=True,
+                        mask_total_w=0.0, mask_zero_or_one_w=0.0))
+            else:
                 c2 = dataclasses.replace(
                     c2, council=dataclasses.replace(
                         c2.council, council_w=0.0, focus_enabled=True,
