@@ -17,7 +17,10 @@ Env overrides: BENCH_BATCH (default 8), BENCH_WARMUP (5), BENCH_STEPS (30),
 BENCH_COUNCIL (4), BENCH_PALLAS (0/1: pallas conv kernels),
 BENCH_REMAT (0/1: member-level generator remat), BENCH_REMAT_STAGES (0/1:
 stage-granular encoder/decoder remat), BENCH_MU_BF16 (0/1: bf16 Adam first
-moments). The batch-16 sweep built from these is in BASELINE.md.
+moments), BENCH_IN_PRECISION (f32/mixed/bf16 instance-norm internals —
+defaults to the Config default), BENCH_GEN_CHUNKS (member chunks for the
+gen update, council-8 single-chip). The batch-16 sweep built from these is
+in BASELINE.md.
 """
 
 import json
@@ -53,6 +56,9 @@ def main():
         "adam_mu_dtype": ("bfloat16"
                           if int(os.environ.get("BENCH_MU_BF16", "0"))
                           else "float32"),
+        **({"in_precision": os.environ["BENCH_IN_PRECISION"]}
+           if "BENCH_IN_PRECISION" in os.environ else {}),
+        "gen_member_chunks": int(os.environ.get("BENCH_GEN_CHUNKS", "1")),
         "council": {"council_size": council, "council_w": 0.2,
                     "council_start_at_iter": 0},
         "focus_loss": {"focus_enabled": True},

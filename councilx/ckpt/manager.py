@@ -45,18 +45,25 @@ def fetch_state_host(state):
     are first replicated with a collective identity-jit — EVERY process must
     call this (it is a collective); the full host copy then exists on every
     process."""
-    leaves = jax.tree_util.tree_leaves(state)
-    if all(not isinstance(l, jax.Array) or l.is_fully_addressable
-           for l in leaves):
+    def needs_gather(l):
+        return isinstance(l, jax.Array) and not l.is_fully_addressable
+
+    flat, treedef = jax.tree_util.tree_flatten(state)
+    idx = [i for i, l in enumerate(flat) if needs_gather(l)]
+    if not idx:
         return jax.device_get(state)
     from jax.sharding import NamedSharding, PartitionSpec
 
-    def rep(l):
-        return NamedSharding(l.sharding.mesh, PartitionSpec())
-
-    out_sh = jax.tree_util.tree_map(rep, state)
-    replicated = jax.jit(lambda s: s, out_shardings=out_sh)(state)
-    return jax.device_get(replicated)
+    # replicate ONLY the non-addressable jax.Array leaves; numpy/python
+    # leaves mixed into the tree (e.g. a host-restored field) pass through
+    # device_get untouched instead of crashing on l.sharding.mesh
+    subset = [flat[i] for i in idx]
+    out_sh = [NamedSharding(l.sharding.mesh, PartitionSpec())
+              for l in subset]
+    gathered = jax.jit(lambda s: s, out_shardings=out_sh)(subset)
+    for i, g in zip(idx, gathered):
+        flat[i] = g
+    return jax.device_get(jax.tree_util.tree_unflatten(treedef, flat))
 
 
 def save_checkpoint(root: str, state, step: int, keep: int = 3,

@@ -240,6 +240,12 @@ class Config:
     # compute dtype for the forward/backward pass ("bfloat16" or "float32");
     # parameters and optimizer state always stay float32.
     compute_dtype: str = "bfloat16"
+    # internal precision of the instance-norm/AdaIN stats under bfloat16
+    # compute ("f32" | "mixed" | "bf16" — see nn.blocks.apply_instance_norm).
+    # The f32 round-trip inside every generator resblock is the measured
+    # composition cliff (BASELINE.md: 25-53 TF/s vs ~99 with bf16 IN);
+    # forced to "f32" in parity_mode and a no-op under float32 compute.
+    in_precision: str = "f32"
     # parity mode: fp32 everywhere + highest conv/matmul precision, for
     # pixel-exact comparison against the reference inference path.
     parity_mode: bool = False
@@ -269,11 +275,29 @@ class Config:
     # store Adam first moments in bfloat16 ("bfloat16" | "float32"):
     # halves mu memory; second moments stay float32 for rsqrt precision
     adam_mu_dtype: str = "float32"
+    # split the generator update into this many sequential member chunks
+    # (grad accumulation over the council axis, lax.map-serialized): the
+    # backward holds at most one chunk's activations — the single-chip
+    # council-8 enabler. 1 = off; must divide council_size.
+    gen_member_chunks: int = 1
     # one style draw per direction per step, shared by the discriminator
     # fakes and the generator update (lets XLA CSE one full council forward
-    # per step). False = reference semantics: fresh z inside each update
-    # method (trainer_council.py gen_update / dis_update draw independently).
+    # per step). False = independent draws for the discriminator fakes vs
+    # the gen update. Legacy bool — superseded by z_mode below; kept so
+    # existing configs load unchanged.
     shared_z: bool = True
+    # z-stream mode ([VERIFY] dual, completes the shared_z story):
+    #   "shared":     ONE draw per direction per step feeds the cdis fakes,
+    #                 the dis fakes AND the gen update (XLA CSEs one full
+    #                 council forward; the TPU-fast default)
+    #   "dis_shared": the gen update draws its own z; both discriminator
+    #                 phases share a second draw (= legacy shared_z=False)
+    #   "per_phase":  fresh z inside EACH of the three update phases —
+    #                 the reference semantics (trainer_council.py draws
+    #                 torch.randn inside gen_update, dis_update AND
+    #                 dis_council_update independently)
+    # None = derive from shared_z (True->"shared", False->"dis_shared").
+    z_mode: Any = None
 
     # non-constant loss-weight schedules by canonical weight name (the typed
     # weight fields above hold each schedule's peak ``base``; constant
@@ -284,6 +308,12 @@ class Config:
     extras: Dict[str, Any] = field(default_factory=dict)
 
     # ------------------------------------------------------------------
+    def __post_init__(self) -> None:
+        # resolve the legacy shared_z bool into z_mode for directly
+        # constructed Configs too (from_dict additionally runs validate())
+        if self.z_mode is None:
+            self.z_mode = "shared" if self.shared_z else "dis_shared"
+
     @classmethod
     def from_dict(cls, raw: Dict[str, Any]) -> "Config":
         raw = dict(raw or {})
@@ -305,6 +335,10 @@ class Config:
         return cfg
 
     def validate(self) -> None:
+        if self.z_mode is None:
+            self.z_mode = "shared" if self.shared_z else "dis_shared"
+        if self.z_mode not in ("shared", "dis_shared", "per_phase"):
+            raise ValueError(f"unsupported z_mode: {self.z_mode}")
         if self.council.council_size < 1:
             raise ValueError("council_size must be >= 1")
         if self.gen.n_downsample < 2:
@@ -325,6 +359,14 @@ class Config:
             raise ValueError("at least one of do_a2b / do_b2a must be true")
         if self.compute_dtype not in ("bfloat16", "float32"):
             raise ValueError(f"unsupported compute_dtype: {self.compute_dtype}")
+        if self.in_precision not in ("f32", "mixed", "bf16"):
+            raise ValueError(f"unsupported in_precision: {self.in_precision}")
+        if self.gen_member_chunks < 1:
+            raise ValueError("gen_member_chunks must be >= 1")
+        if self.council.council_size % self.gen_member_chunks:
+            raise ValueError(
+                f"gen_member_chunks {self.gen_member_chunks} must divide "
+                f"council_size {self.council.council_size}")
         if self.recon_x_cyc_w:
             # cycle consistency is what Council-GAN removes (the paper's
             # thesis); the key exists for YAML compatibility but must be 0

@@ -27,11 +27,24 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 4, drop_last: bool = True,
-                 infinite: bool = True, seed: int = 0, prefetch: int = 4):
-        if len(dataset) < batch_size and drop_last:
+                 infinite: bool = True, seed: int = 0, prefetch: int = 4,
+                 shard_index: int = 0, shard_count: int = 1):
+        # shard_count > 1 = multi-host input partitioning (SURVEY.md §5.8):
+        # every process draws the SAME shuffled index stream (same seed) and
+        # takes its own disjoint batch_size-row slice of each global batch
+        # of batch_size * shard_count rows — hosts never load the same image
+        # into one global batch.
+        if not (0 <= shard_index < shard_count):
+            raise ValueError(f"shard_index {shard_index} out of range for "
+                             f"shard_count {shard_count}")
+        if shard_count > 1 and not drop_last:
+            raise ValueError("sharded loading requires drop_last=True "
+                             "(a ragged final global batch would leave some "
+                             "shards short)")
+        if len(dataset) < batch_size * shard_count and drop_last:
             raise ValueError(
-                f"dataset of {len(dataset)} images smaller than batch_size "
-                f"{batch_size}")
+                f"dataset of {len(dataset)} images smaller than the global "
+                f"batch {batch_size} x {shard_count} shards")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -40,6 +53,8 @@ class DataLoader:
         self.infinite = infinite
         self.seed = seed
         self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         # native C++ decode path (councilx/data/native): used when the
         # dataset is a plain image folder at new_size with no crop override;
         # PIL thread pool remains the fallback (and the parity path)
@@ -55,23 +70,23 @@ class DataLoader:
                 self._native = None
 
     def __len__(self) -> int:
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        gbs = self.batch_size * self.shard_count
+        n = len(self.dataset) // gbs
+        if not self.drop_last and len(self.dataset) % gbs:
             n += 1
         return n
 
     def _index_stream(self) -> Iterator[np.ndarray]:
         rng = np.random.RandomState(self.seed)
-        epoch = 0
+        gbs = self.batch_size * self.shard_count
+        off = self.shard_index * self.batch_size
         while True:
             idx = np.arange(len(self.dataset))
             if self.shuffle:
-                rng.shuffle(idx)
-            lim = (len(idx) // self.batch_size * self.batch_size
-                   if self.drop_last else len(idx))
-            for s in range(0, lim, self.batch_size):
-                yield idx[s:s + self.batch_size]
-            epoch += 1
+                idx = rng.permutation(idx)
+            lim = (len(idx) // gbs * gbs if self.drop_last else len(idx))
+            for s in range(0, lim, gbs):
+                yield idx[s + off:s + off + self.batch_size]
             if not self.infinite:
                 return
 
@@ -120,7 +135,8 @@ class DataLoader:
 
 def get_all_data_loaders(cfg: Config, synthetic: bool = False,
                          synthetic_size: int = 64,
-                         batch_size: int = None, seed_offset: int = 0):
+                         batch_size: int = None, shard_index: int = 0,
+                         shard_count: int = 1):
     """Reference: utils.py::get_all_data_loaders -> (train_a, train_b,
     test_a, test_b).
 
@@ -129,8 +145,12 @@ def get_all_data_loaders(cfg: Config, synthetic: bool = False,
     deterministic synthetic data (tests, benchmarks, smoke runs).
 
     Multi-host: pass ``batch_size`` = this process's share of the global
-    batch and ``seed_offset`` = process index so each host draws a disjoint
-    random stream (SURVEY.md §5.8 per-host input pipeline).
+    batch and ``shard_index``/``shard_count`` = (process index, process
+    count). The train loaders then share ONE shuffled index stream and each
+    host loads a disjoint slice of every global batch (SURVEY.md §5.8
+    per-host input pipeline). Eval loaders are never sharded — each host
+    sees the full test split (display batches are broadcast from process 0
+    anyway).
     """
     d = cfg.data
     bs = batch_size or cfg.batch_size
@@ -160,7 +180,9 @@ def get_all_data_loaders(cfg: Config, synthetic: bool = False,
                                         new_size=d.new_size)
         return DataLoader(ds, bs, shuffle=train,
                           num_workers=d.num_workers, infinite=train,
-                          seed=(0 if train else 1) + 2 * seed_offset)
+                          seed=0 if train else 1,
+                          shard_index=shard_index if train else 0,
+                          shard_count=shard_count if train else 1)
 
     return (make("trainA", True), make("trainB", True),
             make("testA", False), make("testB", False))

@@ -129,6 +129,44 @@ def adain(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     return out * gamma[:, None, None, :] + beta[:, None, None, :]
 
 
+def apply_instance_norm(y: jnp.ndarray, precision: str,
+                        eps: float = 1e-5) -> jnp.ndarray:
+    """Instance norm at a chosen internal precision (BASELINE.md ResBlock
+    composition cliff: the f32 round-trip inside an otherwise-bf16 resblock
+    runs 25-53 TF/s vs ~99 with bf16 IN on v5e).
+
+      "f32"   — cast to f32, stats + normalize in f32, cast back (the
+                torch-parity formula; the parity-mode path)
+      "mixed" — stats (mean/var) reduced in f32, normalize arithmetic in
+                the compute dtype
+      "bf16"  — everything in the compute dtype
+
+    All three coincide exactly when y is float32.
+    """
+    if precision == "f32":
+        return instance_norm(y.astype(jnp.float32), eps).astype(y.dtype)
+    if precision == "mixed":
+        y32 = y.astype(jnp.float32)
+        mean = jnp.mean(y32, axis=(-3, -2), keepdims=True)
+        var = jnp.var(y32, axis=(-3, -2), keepdims=True)
+        scale = jax.lax.rsqrt(var + eps).astype(y.dtype)
+        return (y - mean.astype(y.dtype)) * scale
+    if precision == "bf16":
+        return instance_norm(y, eps)
+    raise ValueError(f"unknown in_precision: {precision}")
+
+
+def apply_adain(y: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
+                precision: str, eps: float = 1e-5) -> jnp.ndarray:
+    """AdaIN at a chosen internal precision (see apply_instance_norm)."""
+    if precision == "f32":
+        return adain(y.astype(jnp.float32), gamma.astype(jnp.float32),
+                     beta.astype(jnp.float32), eps).astype(y.dtype)
+    out = apply_instance_norm(y, precision, eps)
+    return (out * gamma.astype(y.dtype)[:, None, None, :]
+            + beta.astype(y.dtype)[:, None, None, :])
+
+
 class MunitLayerNorm(nn.Module):
     """MUNIT's custom LayerNorm (networks.py::LayerNorm).
 
@@ -285,6 +323,9 @@ class Conv2dBlock(nn.Module):
     # SLOWER than XLA's fusion end-to-end (BASELINE.md), kept benchable.
     use_pallas: bool = False
     use_pallas_norm: bool = False
+    # internal precision of the in/adain norms ("f32"|"mixed"|"bf16") —
+    # see apply_instance_norm; ignored (== f32) when dtype is float32
+    in_precision: str = "f32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -349,7 +390,8 @@ class Conv2dBlock(nn.Module):
                 from councilx.ops.pallas_norm import instance_norm_pallas
                 y = instance_norm_pallas(y)
             else:
-                y = instance_norm(y.astype(jnp.float32)).astype(self.dtype)
+                y = apply_instance_norm(y.astype(self.dtype),
+                                        self.in_precision)
         elif self.norm == "ln":
             y = MunitLayerNorm(num_features=self.out_dim, dtype=self.dtype)(y)
         elif self.norm == "bn":
@@ -365,9 +407,8 @@ class Conv2dBlock(nn.Module):
                 y = instance_norm_pallas(y, gamma.astype(jnp.float32),
                                          beta.astype(jnp.float32))
             else:
-                y = adain(y.astype(jnp.float32),
-                          gamma.astype(jnp.float32),
-                          beta.astype(jnp.float32)).astype(self.dtype)
+                y = apply_adain(y.astype(self.dtype), gamma, beta,
+                                self.in_precision)
         elif self.norm in ("none", "sn"):
             pass
         else:
@@ -435,6 +476,7 @@ class ResBlock(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     use_pallas_norm: bool = False
+    in_precision: str = "f32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -445,12 +487,14 @@ class ResBlock(nn.Module):
                         activation=self.activation, pad_type=self.pad_type,
                         kernel_init=self.kernel_init, dtype=self.dtype,
                         use_pallas=self.use_pallas,
-                        use_pallas_norm=self.use_pallas_norm)(x, p0)
+                        use_pallas_norm=self.use_pallas_norm,
+                        in_precision=self.in_precision)(x, p0)
         y = Conv2dBlock(self.dim, 3, 1, 1, norm=self.norm,
                         activation="none", pad_type=self.pad_type,
                         kernel_init=self.kernel_init, dtype=self.dtype,
                         use_pallas=self.use_pallas,
-                        use_pallas_norm=self.use_pallas_norm)(y, p1)
+                        use_pallas_norm=self.use_pallas_norm,
+                        in_precision=self.in_precision)(y, p1)
         return x + y
 
 
@@ -466,6 +510,7 @@ class ResBlocks(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     use_pallas_norm: bool = False
+    in_precision: str = "f32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -477,7 +522,8 @@ class ResBlocks(nn.Module):
                          activation=self.activation, pad_type=self.pad_type,
                          kernel_init=self.kernel_init, dtype=self.dtype,
                          use_pallas=self.use_pallas,
-                         use_pallas_norm=self.use_pallas_norm)(x, p)
+                         use_pallas_norm=self.use_pallas_norm,
+                         in_precision=self.in_precision)(x, p)
         return x
 
 

@@ -53,6 +53,7 @@ class ContentEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     use_pallas_norm: bool = False
+    in_precision: str = "f32"   # internal precision of the in/adain norms
     # stage-granular rematerialization (see Decoder.remat_stages): at 256px
     # batch>8 the encoder's (B,64,64,256) resblock internals are the other
     # half of the memory peak; per-stage checkpointing bounds the backward
@@ -76,6 +77,7 @@ class ContentEncoder(nn.Module):
                pad_type=self.pad_type, kernel_init=self.kernel_init,
                dtype=self.dtype, use_pallas=self.use_pallas,
                use_pallas_norm=self.use_pallas_norm,
+               in_precision=self.in_precision,
                name="Conv2dBlock_0")(x)
         for i in range(self.n_downsample):
             x = CB(2 * dim, 4, 2, 1, norm="in",
@@ -83,12 +85,14 @@ class ContentEncoder(nn.Module):
                    kernel_init=self.kernel_init, dtype=self.dtype,
                    use_pallas=self.use_pallas,
                    use_pallas_norm=self.use_pallas_norm,
+                   in_precision=self.in_precision,
                    name=f"Conv2dBlock_{i + 1}")(x)
             dim *= 2
         x = RB(self.n_res, dim, norm="in", activation=self.activ,
                pad_type=self.pad_type, kernel_init=self.kernel_init,
                dtype=self.dtype, use_pallas=self.use_pallas,
                use_pallas_norm=self.use_pallas_norm,
+               in_precision=self.in_precision,
                name="ResBlocks_0")(x)
         return x
 
@@ -148,6 +152,7 @@ class Decoder(nn.Module):
     fuse_upsample: bool = True
     use_pallas: bool = False
     use_pallas_norm: bool = False
+    in_precision: str = "f32"   # internal precision of the adain norms
     # mask-channel activation ([VERIFY] dual, see CouncilConfig): with
     # "sigmoid" the final conv emits raw pre-activations; tanh is applied to
     # the RGB channels only, the mask channel stays a logit for the caller's
@@ -186,6 +191,7 @@ class Decoder(nn.Module):
                pad_type=self.pad_type, kernel_init=self.kernel_init,
                dtype=self.dtype, use_pallas=self.use_pallas,
                use_pallas_norm=self.use_pallas_norm,
+               in_precision=self.in_precision,
                name="ResBlocks_0")(x, pairs)
         idx = 0
         for _ in range(self.n_upsample):
@@ -194,6 +200,8 @@ class Decoder(nn.Module):
                    kernel_init=self.kernel_init, dtype=self.dtype,
                    upsample2x=True,
                    fuse_upsample=self.fuse_upsample,
+                   use_pallas=self.use_pallas,
+                   use_pallas_norm=self.use_pallas_norm,
                    name=f"Conv2dBlock_{idx}")(x)
             dim //= 2
             idx += 1
@@ -231,6 +239,7 @@ class AdaINGen(nn.Module):
     fuse_upsample: bool = True  # see Decoder.fuse_upsample
     use_pallas: bool = False    # per-object kernel choices (no process global)
     use_pallas_norm: bool = False
+    in_precision: str = "f32"   # internal precision of the in/adain norms
     mask_activation: str = "tanh_affine"  # see Decoder.mask_activation
     remat_stages: bool = False  # see Decoder.remat_stages
 
@@ -249,6 +258,7 @@ class AdaINGen(nn.Module):
             kernel_init=self.kernel_init, dtype=self.dtype,
             use_pallas=self.use_pallas,
             use_pallas_norm=self.use_pallas_norm,
+            in_precision=self.in_precision,
             remat_stages=self.remat_stages)
         self.enc_style = StyleEncoder(
             dim=self.dim, style_dim=self.style_dim,
@@ -262,6 +272,7 @@ class AdaINGen(nn.Module):
             dtype=self.dtype, fuse_upsample=self.fuse_upsample,
             use_pallas=self.use_pallas,
             use_pallas_norm=self.use_pallas_norm,
+            in_precision=self.in_precision,
             mask_activation=self.mask_activation,
             remat_stages=self.remat_stages)
         self.mlp = MLP(

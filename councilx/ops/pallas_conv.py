@@ -246,6 +246,13 @@ def _fwd_impl(xp, k):
     b, hp, wp, c = xp.shape
     h, w = hp - 2, wp - 2
     hb = _pick_hb(h, w, c, k.shape[-1], xp.dtype.itemsize)
+    if hb is None:
+        # no VMEM plan fits this shape (ungated caller — conv3x3_eligible
+        # callers never get here); fall back to XLA instead of crashing in
+        # _cdiv(h, None)
+        return jax.lax.conv_general_dilated(
+            xp, k.astype(xp.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     rows_needed = _cdiv(h, hb) * hb + 2
     if rows_needed > hp:
         xp = jnp.pad(xp, ((0, 0), (0, rows_needed - hp), (0, 0), (0, 0)))

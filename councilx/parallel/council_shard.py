@@ -132,23 +132,30 @@ class CouncilShardTrainer(CouncilTrainer):
             return jax.lax.dynamic_slice(
                 z_full, (off, d_idx * b_local, 0), (m, b_local, sd))
 
-        zs = {d: shard_z(di) for di, d in enumerate(self.directions)}
-        # shared_z=False: independent draw for the discriminator fakes —
-        # same fold offsets as trainer._step so shard == single-chip
-        zs_dis = (zs if cfg.shared_z else
-                  {d: shard_z(100 + di)
-                   for di, d in enumerate(self.directions)})
+        # per-phase draws — same fold offsets as trainer._step so
+        # shard == single-chip in every z_mode (see draw_phase_zs)
+        from councilx.train.trainer import draw_phase_zs
+        zs, zs_cdis, zs_dis = draw_phase_zs(shard_z, self.directions,
+                                            cfg.z_mode)
 
         # local fakes + the all-gathered member stack (ICI collective #1)
-        fakes_l: Dict[str, jnp.ndarray] = {}
-        fakes_all: Dict[str, jnp.ndarray] = {}
-        for d in self.directions:
-            x_in, _ = inputs[d]
-            x_t, _, _ = self._translate_members(state.params[d]["gen"],
-                                                x_in, zs_dis[d])
-            fakes_l[d] = jax.lax.stop_gradient(x_t)
-            fakes_all[d] = jax.lax.all_gather(fakes_l[d], "council",
-                                              axis=0, tiled=True)
+        def make_fakes(z_by_dir):
+            loc: Dict[str, jnp.ndarray] = {}
+            allm: Dict[str, jnp.ndarray] = {}
+            for d in self.directions:
+                x_in, _ = inputs[d]
+                x_t, _, _ = self._translate_members(state.params[d]["gen"],
+                                                    x_in, z_by_dir[d])
+                loc[d] = jax.lax.stop_gradient(x_t)
+                allm[d] = jax.lax.all_gather(loc[d], "council",
+                                             axis=0, tiled=True)
+            return loc, allm
+
+        fakes_l, fakes_all = make_fakes(zs_dis)
+        if zs_cdis is zs_dis:
+            fakes_cdis_all = fakes_all
+        else:  # z_mode="per_phase": the council-dis phase gets its own draw
+            _, fakes_cdis_all = make_fakes(zs_cdis)
 
         params = {d: dict(state.params[d]) for d in self.directions}
 
@@ -176,11 +183,11 @@ class CouncilShardTrainer(CouncilTrainer):
             ratio = max(1, cfg.council.council_dis_relative_iteration)
             tree = {d: params[d]["cdis"] for d in self.directions}
             if ratio == 1:
-                tree, opt_cdis, loss_cdis = one_cdis_update(tree, opt_cdis,
-                                                            fakes_all)
+                tree, opt_cdis, loss_cdis = one_cdis_update(
+                    tree, opt_cdis, fakes_cdis_all)
             elif cfg.council.cdis_ratio_mode == "k_per_step":
-                tree, opt_cdis, loss_cdis = one_cdis_update(tree, opt_cdis,
-                                                            fakes_all)
+                tree, opt_cdis, loss_cdis = one_cdis_update(
+                    tree, opt_cdis, fakes_cdis_all)
                 for it in range(1, ratio):
                     fakes_i: Dict[str, jnp.ndarray] = {}
                     for di, d in enumerate(self.directions):
@@ -201,7 +208,7 @@ class CouncilShardTrainer(CouncilTrainer):
                         tree, opt_cdis, fakes_i)
             else:  # "every_kth" (round-1 semantics), traced gate
                 def run(args):
-                    return one_cdis_update(*args, fakes_all)
+                    return one_cdis_update(*args, fakes_cdis_all)
 
                 def skip(args):
                     t, o = args
@@ -212,6 +219,11 @@ class CouncilShardTrainer(CouncilTrainer):
 
                 tree, opt_cdis, loss_cdis = jax.lax.cond(
                     state.step % ratio == 0, run, skip, (tree, opt_cdis))
+                # mirror trainer._step: flag skipped steps so the logger
+                # masks the placeholder zero (replicated value — derived
+                # from state.step only)
+                metrics["cdis_updated"] = (
+                    state.step % ratio == 0).astype(jnp.float32)
             for d in self.directions:
                 params[d]["cdis"] = tree[d]
             metrics["loss_dis_council"] = jax.lax.psum(loss_cdis, "council")

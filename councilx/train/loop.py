@@ -46,6 +46,18 @@ def make_trainer(cfg: Config) -> CouncilTrainer:
     return DataParallelTrainer(cfg, mesh)
 
 
+def mask_skipped_metrics(metrics: Dict) -> Dict:
+    """Drop placeholder metrics from steps where the gated council-dis
+    update did not run (cdis_ratio_mode='every_kth' skip steps return a
+    literal 0.0 through the lax.cond). The TB/JSONL stream then simply has
+    no data point for the skipped step instead of a sawtooth of fake zeros.
+    Consumes the ``cdis_updated`` flag either way."""
+    updated = metrics.pop("cdis_updated", None)
+    if updated is not None and float(np.asarray(updated)) == 0.0:
+        metrics.pop("loss_dis_council", None)
+    return metrics
+
+
 def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
           resume: bool = False, synthetic: bool = False,
           max_steps: Optional[int] = None, seed: int = 0,
@@ -80,29 +92,38 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
             "the GLOBAL device count (and optionally council_parallel)")
     state = trainer.init_state(jax.random.PRNGKey(seed))
     start_step = 0
-    if resume and latest_checkpoint(ckpt_dir):
-        host_state, start_step = restore_checkpoint(ckpt_dir, state)
-        state = trainer.place_state(host_state)
-        if primary:
-            print(f"resumed from iteration {start_step}")
-    if n_proc > 1:
-        # every process resolved --resume against its OWN filesystem; on
-        # non-shared disks they can disagree, which would silently
-        # desynchronize the replicated state and deadlock a later
-        # collective — fail loudly instead
-        from jax.experimental import multihost_utils
-        steps = np.asarray(
-            multihost_utils.process_allgather(jnp.asarray(start_step)))
-        if int(steps.min()) != int(steps.max()):
-            raise RuntimeError(
-                f"resume desynchronized across hosts: per-process start "
-                f"steps {steps.tolist()} — checkpoints must live on a "
-                f"shared filesystem (or be mirrored to every host)")
+    if resume:
+        # agree on what to restore BEFORE any process enters the restore
+        # collectives: each process resolves --resume against its OWN
+        # filesystem, so on non-shared disks they can disagree — and a
+        # process that restores (replicate-jit collective) while another
+        # skips straight to process_allgather deadlocks on mismatched
+        # collectives instead of failing loudly. Allgather the locally
+        # found step first and drive the branch from the agreed value.
+        found = latest_checkpoint(ckpt_dir)
+        local_step = found[0] if found else -1
+        agreed_step = local_step
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+            steps = np.asarray(
+                multihost_utils.process_allgather(jnp.asarray(local_step)))
+            if int(steps.min()) != int(steps.max()):
+                raise RuntimeError(
+                    f"resume desynchronized across hosts: per-process "
+                    f"latest checkpoint steps {steps.tolist()} — "
+                    f"checkpoints must live on a shared filesystem (or be "
+                    f"mirrored to every host)")
+            agreed_step = int(steps[0])
+        if agreed_step >= 0:
+            host_state, start_step = restore_checkpoint(ckpt_dir, state)
+            state = trainer.place_state(host_state)
+            if primary:
+                print(f"resumed from iteration {start_step}")
 
     local_bs = multihost.local_batch_size(cfg.batch_size)
     train_a, train_b, test_a, test_b = get_all_data_loaders(
         cfg, synthetic=synthetic, batch_size=local_bs,
-        seed_offset=jax.process_index())
+        shard_index=jax.process_index(), shard_count=n_proc)
     # fixed display batches (reference: display_size samples)
     disp_n = min(cfg.display_size, local_bs)
     disp_a = next(iter(test_a))[:disp_n]
@@ -159,7 +180,7 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
             images_per_sec = (window_steps * cfg.batch_size
                               / max(now - t_window, 1e-9))
             t_window, window_steps = now, 0
-            metrics = dict(metrics)
+            metrics = mask_skipped_metrics(dict(metrics))
             metrics["images_per_sec"] = images_per_sec
             if logger is not None:
                 logger.write(step, metrics)

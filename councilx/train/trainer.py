@@ -38,6 +38,29 @@ from councilx.nn.generator import AdaINGen, composite_with_mask
 from councilx.train.optim import make_optimizers
 
 
+def draw_phase_zs(draw, directions, z_mode: str):
+    """Per-phase style draws (reference: trainer_council.py draws
+    torch.randn independently inside gen_update / dis_update /
+    dis_council_update — SURVEY.md §3.2/§3.3).
+
+    ``draw(fold)`` produces one (N, B, style_dim) draw from a fold constant;
+    fold families: gen = di, dis fakes = 100 + di, cdis fakes = 200 + di
+    (di = direction index). Returns ``(zs_gen, zs_cdis, zs_dis)`` dicts
+    keyed by direction — the SAME dict object where phases share a stream,
+    so callers can reuse the already-computed fakes (``zs_cdis is zs_dis``).
+    """
+    zs_gen = {d: draw(di) for di, d in enumerate(directions)}
+    if z_mode == "shared":
+        return zs_gen, zs_gen, zs_gen
+    zs_dis = {d: draw(100 + di) for di, d in enumerate(directions)}
+    if z_mode == "dis_shared":
+        return zs_gen, zs_dis, zs_dis
+    if z_mode != "per_phase":
+        raise ValueError(f"unsupported z_mode: {z_mode}")
+    zs_cdis = {d: draw(200 + di) for di, d in enumerate(directions)}
+    return zs_gen, zs_cdis, zs_dis
+
+
 class TrainState(struct.PyTreeNode):
     """Everything that changes during training, as one donatable pytree."""
 
@@ -80,6 +103,7 @@ class CouncilTrainer:
             dtype=self.dtype,
             fuse_upsample=cfg.fuse_upsample and not cfg.parity_mode,
             use_pallas=use_pallas, use_pallas_norm=use_pallas_norm,
+            in_precision="f32" if cfg.parity_mode else cfg.in_precision,
             mask_activation=cfg.council.mask_activation,
             remat_stages=cfg.remat_stages)
         self.mask_activation = cfg.council.mask_activation
@@ -350,31 +374,31 @@ class CouncilTrainer:
         rng, k_z = jax.random.split(state.rng)
         metrics: Dict[str, Any] = {}
 
-        # One style draw per direction per step, shared by the discriminator
-        # fakes AND the generator update (the reference draws fresh z inside
-        # each update method; sharing is the standard GAN pattern — D trains
-        # on exactly the fakes G is then updated on — distributionally
-        # identical, and it lets XLA CSE away one full council forward).
-        # shared_z=False restores the reference semantics: independent draws
-        # for the discriminator fakes (zs_dis) and the gen update (zs) — one
-        # extra council forward per step, no other change.
-        zs = {d: jax.random.normal(jax.random.fold_in(k_z, di), (n, b, sd),
-                                   self.dtype)
-              for di, d in enumerate(self.directions)}
-        if cfg.shared_z:
-            zs_dis = zs
-        else:
-            zs_dis = {d: jax.random.normal(
-                jax.random.fold_in(k_z, 100 + di), (n, b, sd), self.dtype)
-                for di, d in enumerate(self.directions)}
+        # Per-phase style draws — see draw_phase_zs. z_mode="shared" (the
+        # TPU-fast default) feeds ONE draw per direction to all three
+        # phases (XLA CSEs one full council forward); "per_phase" restores
+        # the exact reference semantics of fresh z inside each of the three
+        # update methods.
+        def draw(fold):
+            return jax.random.normal(jax.random.fold_in(k_z, fold),
+                                     (n, b, sd), self.dtype)
 
-        # detached fakes shared by both discriminator updates
-        fakes: Dict[str, jnp.ndarray] = {}
-        for d in self.directions:
-            x_in, _ = inputs[d]
-            x_t, _, _ = self._translate_members(state.params[d]["gen"],
-                                                x_in, zs_dis[d])
-            fakes[d] = jax.lax.stop_gradient(x_t)
+        zs, zs_cdis, zs_dis = draw_phase_zs(draw, self.directions,
+                                            cfg.z_mode)
+
+        # detached fakes for the domain-dis update (and, unless
+        # z_mode="per_phase", the council-dis update too)
+        def make_fakes(z_by_dir):
+            out: Dict[str, jnp.ndarray] = {}
+            for d in self.directions:
+                x_in, _ = inputs[d]
+                x_t, _, _ = self._translate_members(state.params[d]["gen"],
+                                                    x_in, z_by_dir[d])
+                out[d] = jax.lax.stop_gradient(x_t)
+            return out
+
+        fakes = make_fakes(zs_dis)
+        fakes_cdis = fakes if zs_cdis is zs_dis else make_fakes(zs_cdis)
 
         params = {d: dict(state.params[d]) for d in self.directions}
 
@@ -406,10 +430,10 @@ class CouncilTrainer:
             tree = {d: params[d]["cdis"] for d in self.directions}
             if ratio == 1:
                 tree, opt_cdis, loss_cdis = one_cdis_update(tree, opt_cdis,
-                                                            fakes)
+                                                            fakes_cdis)
             elif cfg.council.cdis_ratio_mode == "k_per_step":
                 tree, opt_cdis, loss_cdis = one_cdis_update(tree, opt_cdis,
-                                                            fakes)
+                                                            fakes_cdis)
                 for it in range(1, ratio):
                     fakes_i: Dict[str, jnp.ndarray] = {}
                     for di, d in enumerate(self.directions):
@@ -423,7 +447,7 @@ class CouncilTrainer:
                         tree, opt_cdis, fakes_i)
             else:  # "every_kth" (round-1 semantics), traced gate
                 def run(args):
-                    return one_cdis_update(*args, fakes)
+                    return one_cdis_update(*args, fakes_cdis)
 
                 def skip(args):
                     t, o = args
@@ -431,6 +455,11 @@ class CouncilTrainer:
 
                 tree, opt_cdis, loss_cdis = jax.lax.cond(
                     state.step % ratio == 0, run, skip, (tree, opt_cdis))
+                # skipped steps produce no real loss — flag them so the
+                # logger can mask the placeholder instead of writing a
+                # sawtooth of literal zeros to the TB curves
+                metrics["cdis_updated"] = (
+                    state.step % ratio == 0).astype(jnp.float32)
             for d in self.directions:
                 params[d]["cdis"] = tree[d]
             metrics["loss_dis_council"] = loss_cdis
@@ -454,23 +483,27 @@ class CouncilTrainer:
 
         # ---- phase 3: generators (reference gen_update), seeing the freshly
         # updated discriminators, exactly like the reference's in-place order
-        def gen_loss_fn(tree):
-            loss = 0.0
-            aux: Dict[str, Any] = {}
-            for d in self.directions:
-                x_in, _ = inputs[d]
-                ld, md = self._gen_loss_dir(
-                    tree[d], jax.lax.stop_gradient(params[d]["dis"]),
-                    jax.lax.stop_gradient(params[d]["cdis"]),
-                    x_in, zs[d], state.step)
-                loss += ld
-                for k, v in md.items():
-                    aux[f"{k}_{d}"] = v
-            return loss, aux
-
         tree = {d: params[d]["gen"] for d in self.directions}
-        (loss_gen, aux), grads = jax.value_and_grad(
-            gen_loss_fn, has_aux=True)(tree)
+        if cfg.gen_member_chunks > 1:
+            loss_gen, aux, grads = self._gen_grads_chunked(
+                tree, params, inputs, zs, state.step)
+        else:
+            def gen_loss_fn(tree):
+                loss = 0.0
+                aux: Dict[str, Any] = {}
+                for d in self.directions:
+                    x_in, _ = inputs[d]
+                    ld, md = self._gen_loss_dir(
+                        tree[d], jax.lax.stop_gradient(params[d]["dis"]),
+                        jax.lax.stop_gradient(params[d]["cdis"]),
+                        x_in, zs[d], state.step)
+                    loss += ld
+                    for k, v in md.items():
+                        aux[f"{k}_{d}"] = v
+                return loss, aux
+
+            (loss_gen, aux), grads = jax.value_and_grad(
+                gen_loss_fn, has_aux=True)(tree)
         updates, opt_gen = self.gen_tx.update(grads, state.opt_gen, tree)
         new_tree = optax.apply_updates(tree, updates)
         for d in self.directions:
@@ -482,6 +515,72 @@ class CouncilTrainer:
             step=state.step + 1, rng=rng, params=params,
             opt_gen=opt_gen, opt_dis=opt_dis, opt_cdis=opt_cdis)
         return new_state, metrics
+
+    def _gen_grads_chunked(self, tree, params, inputs, zs, step):
+        """Gen-phase gradients accumulated over member chunks
+        (Config.gen_member_chunks) — the single-chip council-8 path.
+
+        The member axis splits into ``chunks`` contiguous groups; a
+        ``lax.map`` runs one value_and_grad per group SEQUENTIALLY, so the
+        backward pass holds at most one group's activations (council-8
+        batch-8 at 256px overflows a 16 GB v5e by ~1.8 GB with the full
+        council in one backward — BASELINE.md council-scaling table). The
+        per-member losses are separable (same property member parallelism
+        exploits, parallel/council_shard.py), so summed chunk gradients
+        equal the unchunked gradients up to float reassociation:
+        ``out_offset`` keeps the council-loss diagonal global,
+        ``member_scale`` rescales the mean-over-members mask losses.
+        """
+        cfg = self.cfg
+        chunks = cfg.gen_member_chunks
+        n = self.n
+        if n % chunks:
+            raise ValueError(f"gen_member_chunks {chunks} must divide "
+                             f"council_size {n}")
+        m = n // chunks
+        cdis_sg = {d: jax.lax.stop_gradient(params[d]["cdis"])
+                   for d in self.directions}
+
+        def split(l):
+            return l.reshape((chunks, m) + l.shape[1:])
+
+        tree_c = jax.tree_util.tree_map(split, tree)
+        # member i's adversarial term pairs D_i with G_i's output, so the
+        # (stop-gradient) domain-dis tree chunks alongside the gen tree;
+        # the council term needs EVERY member's cdis -> stays whole
+        dis_c = {d: jax.tree_util.tree_map(
+                     split, jax.lax.stop_gradient(params[d]["dis"]))
+                 for d in self.directions}
+        zs_c = {d: split(zs[d]) for d in self.directions}
+        offsets = jnp.arange(chunks, dtype=jnp.int32) * m
+
+        def one_chunk(args):
+            tc, dc, zc, off = args
+
+            def loss_fn(tc):
+                loss = 0.0
+                aux: Dict[str, Any] = {}
+                for d in self.directions:
+                    x_in, _ = inputs[d]
+                    ld, md = self._gen_loss_dir(
+                        tc[d], dc[d], cdis_sg[d], x_in, zc[d], step,
+                        out_offset=off, member_scale=m / n)
+                    loss += ld
+                    for k, v in md.items():
+                        aux[f"{k}_{d}"] = v
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(tc)
+            return loss, aux, grads
+
+        losses, auxes, grads_c = jax.lax.map(
+            one_chunk, (tree_c, dis_c, zs_c, offsets))
+        loss_gen = jnp.sum(losses)
+        aux = {k: jnp.sum(v) for k, v in auxes.items()}
+        grads = jax.tree_util.tree_map(
+            lambda g: g.reshape((n,) + g.shape[2:]), grads_c)
+        return loss_gen, aux, grads
 
     # ------------------------------------------------------------------
     # public API

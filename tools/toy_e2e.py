@@ -78,6 +78,13 @@ def main():
                     help="stop at steps/2, resume from the snapshot, finish "
                          "— validates checkpoint/resume mid-training")
     ap.add_argument("--shared_z", type=int, default=1)
+    ap.add_argument("--z_mode", default=None,
+                    choices=["shared", "dis_shared", "per_phase"],
+                    help="overrides --shared_z when given")
+    ap.add_argument("--in_precision", default=None,
+                    choices=["f32", "mixed", "bf16"],
+                    help="instance-norm internal precision (None = Config "
+                         "default)")
     ap.add_argument("--mask_activation", default="tanh_affine",
                     choices=["tanh_affine", "sigmoid"])
     ap.add_argument("--mask_w_start", type=int, default=0,
@@ -121,6 +128,9 @@ def main():
         "do_a2b": args.directions in ("a2b", "both"),
         "do_b2a": args.directions in ("b2a", "both"),
         "shared_z": bool(args.shared_z),
+        **({"z_mode": args.z_mode} if args.z_mode else {}),
+        **({"in_precision": args.in_precision}
+           if args.in_precision else {}),
         "recon_x_w": 10.0, "recon_s_w": 1.0, "recon_c_w": 1.0,
         "council": {"council_size": args.council, "council_w": 0.2,
                     "council_start_at_iter": 0,
