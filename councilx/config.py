@@ -242,10 +242,13 @@ class Config:
     compute_dtype: str = "bfloat16"
     # internal precision of the instance-norm/AdaIN stats under bfloat16
     # compute ("f32" | "mixed" | "bf16" — see nn.blocks.apply_instance_norm).
-    # The f32 round-trip inside every generator resblock is the measured
-    # composition cliff (BASELINE.md: 25-53 TF/s vs ~99 with bf16 IN);
-    # forced to "f32" in parity_mode and a no-op under float32 compute.
-    in_precision: str = "f32"
+    # Measured end-to-end (BASELINE.md r3): f32 13.473 / mixed 13.529 /
+    # bf16 13.531 img/s/chip at the headline config — the isolated ResBlock
+    # cliff (25-53 vs 99 TF/s) mostly vanishes inside the fused full step.
+    # Default "mixed": bf16-speed normalize with f32 statistics (the
+    # numerically safer of the two fast variants); forced to "f32" in
+    # parity_mode and a no-op under float32 compute.
+    in_precision: str = "mixed"
     # parity mode: fp32 everywhere + highest conv/matmul precision, for
     # pixel-exact comparison against the reference inference path.
     parity_mode: bool = False

@@ -29,30 +29,39 @@ def normalize_batch(batch_u8: jnp.ndarray,
     return x.astype(dtype)
 
 
-@partial(jax.jit, static_argnames=("crop_h", "crop_w", "train", "dtype"))
+@partial(jax.jit, static_argnames=("crop_h", "crop_w", "train", "dtype",
+                                   "row_offset"))
 def augment_batch(rng: jax.Array, batch_u8: jnp.ndarray, crop_h: int,
                   crop_w: int, train: bool = True,
-                  dtype=jnp.float32) -> jnp.ndarray:
+                  dtype=jnp.float32, row_offset: int = 0) -> jnp.ndarray:
     """(B, H, W, C) uint8 -> (B, crop_h, crop_w, C) float in [-1, 1].
 
     train=True: per-sample random crop + random horizontal flip.
     train=False: center crop only.
+
+    Randomness is keyed PER GLOBAL ROW — fold_in(rng, row_offset + i) — so a
+    multi-host run (each process augmenting its local slice with
+    ``row_offset`` = its first global row) produces bit-identical pixels to
+    a single-process run over the whole global batch. The multi-host
+    equivalence test (tests/test_multihost.py) relies on this.
     """
     b, h, w, c = batch_u8.shape
     x = normalize_batch(batch_u8, dtype=jnp.float32)
 
     if train:
-        k_crop_y, k_crop_x, k_flip = jax.random.split(rng, 3)
-        off_y = jax.random.randint(k_crop_y, (b,), 0, h - crop_h + 1)
-        off_x = jax.random.randint(k_crop_x, (b,), 0, w - crop_w + 1)
+        keys = jax.vmap(lambda r: jax.random.fold_in(rng, r))(
+            jnp.arange(b, dtype=jnp.int32) + row_offset)
 
-        def crop_one(img, oy, ox):
-            return jax.lax.dynamic_slice(img, (oy, ox, 0),
-                                         (crop_h, crop_w, c))
+        def aug_one(img, key):
+            k_y, k_x, k_flip = jax.random.split(key, 3)
+            oy = jax.random.randint(k_y, (), 0, h - crop_h + 1)
+            ox = jax.random.randint(k_x, (), 0, w - crop_w + 1)
+            out = jax.lax.dynamic_slice(img, (oy, ox, 0),
+                                        (crop_h, crop_w, c))
+            return jnp.where(jax.random.bernoulli(k_flip),
+                             out[:, ::-1, :], out)
 
-        x = jax.vmap(crop_one)(x, off_y, off_x)
-        flip = jax.random.bernoulli(k_flip, 0.5, (b,))
-        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        x = jax.vmap(aug_one)(x, keys)
     else:
         oy, ox = (h - crop_h) // 2, (w - crop_w) // 2
         x = x[:, oy:oy + crop_h, ox:ox + crop_w, :]

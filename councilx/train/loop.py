@@ -148,15 +148,18 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
     images_per_sec = 0.0
 
     it_a, it_b = iter(train_a), iter(train_b)
+    # augmentation is keyed per GLOBAL row (augment_batch row_offset): each
+    # process augments its own slice of the global batch with exactly the
+    # crops/flips a single-process run would apply to those rows
+    row_off = jax.process_index() * local_bs
     while step < limit:
         a_u8, b_u8 = next(it_a), next(it_b)
         k = jax.random.fold_in(aug_key, step)
-        # each process augments a DIFFERENT slice of the global batch; fold
-        # in the process index so the random crops/flips differ too
-        k = jax.random.fold_in(k, jax.process_index())
         ka, kb = jax.random.split(k)
-        x_a = augment_batch(ka, jnp.asarray(a_u8), crop_h, crop_w, train=True)
-        x_b = augment_batch(kb, jnp.asarray(b_u8), crop_h, crop_w, train=True)
+        x_a = augment_batch(ka, jnp.asarray(a_u8), crop_h, crop_w,
+                            train=True, row_offset=row_off)
+        x_b = augment_batch(kb, jnp.asarray(b_u8), crop_h, crop_w,
+                            train=True, row_offset=row_off)
         if n_proc > 1:
             # assemble the host-local rows into one globally-sharded batch
             # (jax.make_array_from_process_local_data); trainers' batch

@@ -171,6 +171,23 @@ class TestShardedLoader:
         with pytest.raises(ValueError, match="global"):
             DataLoader(ds, 5, shard_count=2)
 
+    def test_augment_per_global_row_shard_invariant(self):
+        """Per-global-row augmentation keys: two processes augmenting their
+        halves (row_offset 0 and B/2) produce bit-identically the pixels a
+        single process produces for the whole batch — the property the
+        multi-host loop relies on."""
+        from councilx.data.ondevice import augment_batch
+
+        r = np.random.RandomState(0)
+        batch = jnp.asarray(r.randint(0, 255, (8, 40, 40, 3), np.uint8))
+        k = jax.random.PRNGKey(9)
+        full = np.asarray(augment_batch(k, batch, 32, 32, train=True))
+        h0 = np.asarray(augment_batch(k, batch[:4], 32, 32, train=True,
+                                      row_offset=0))
+        h1 = np.asarray(augment_batch(k, batch[4:], 32, 32, train=True,
+                                      row_offset=4))
+        np.testing.assert_array_equal(np.concatenate([h0, h1]), full)
+
     def test_get_all_data_loaders_shards_train_only(self):
         from councilx.data.loader import get_all_data_loaders
 
