@@ -24,7 +24,7 @@ from councilx.config import load_config
 from councilx.ckpt.manager import load_params_npz
 from councilx.data.dataset import ImageFolderDataset
 from councilx.data.ondevice import normalize_batch
-from councilx.inference.translate import Translator, denormalize_to_uint8
+from councilx.inference.translate import Translator
 
 
 def load_generator_params(checkpoint: str, cfg, direction: str = "a2b"):
@@ -112,9 +112,8 @@ def main():
                 z = (jnp.broadcast_to(style_z[m], (x.shape[0],
                                                    style_z[m].shape[-1]))
                      if style_z is not None else None)
-                out, _ = translator.translate(params, x, z=z, rng=k,
-                                              member=m)
-                out_u8 = denormalize_to_uint8(np.asarray(out))
+                out_u8 = translator.translate_u8(params, x, z=z, rng=k,
+                                                 member=m)
                 for j, i in enumerate(idxs):
                     base = os.path.splitext(os.path.basename(ds.paths[i]))[0]
                     suffix = (f"_m{m}" if len(members) > 1 else "") + (

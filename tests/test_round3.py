@@ -317,6 +317,29 @@ class TestGenMemberChunks:
 
 
 # ---------------------------------------------------------------------------
+# on-device uint8 serving output
+# ---------------------------------------------------------------------------
+
+
+def test_translate_u8_matches_host_denormalize(rng):
+    """The serving fast path (uint8 produced on device, 4x smaller D2H)
+    must match the host-side denormalize of the f32 path exactly."""
+    from councilx.inference.translate import Translator, denormalize_to_uint8
+
+    cfg = tiny_config()
+    tr = Translator(cfg)
+    dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = tr.gen.init(jax.random.PRNGKey(0), dummy)["params"]
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    z = jnp.asarray(rng.randn(2, cfg.gen.style_dim).astype(np.float32))
+    f32_out, _ = tr.translate(params, x, z=z)
+    want = denormalize_to_uint8(np.asarray(f32_out))
+    got = tr.translate_u8(params, x, z=z)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
 # pallas conv fallback
 # ---------------------------------------------------------------------------
 

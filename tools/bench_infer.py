@@ -12,7 +12,9 @@ cost_analysis is unavailable through the runtime).
 Env: INFER_BATCH (64) or INFER_SWEEP="16,32,64,128" (one JSON line each),
 INFER_STEPS (20), INFER_SIZE (256), INFER_PALLAS (0), INFER_IN_PRECISION
 (f32/mixed/bf16), INFER_BF16_PARAMS (0/1: keep the weights RESIDENT in
-bfloat16 — halves weight-read traffic vs casting f32 params every call).
+bfloat16 — halves weight-read traffic vs casting f32 params every call),
+INFER_ALL_MEMBERS (1; 0 skips the all-members call — its effective batch
+is 4x and OOMs HBM beyond ~batch 128 at 256px).
 """
 
 import json
@@ -75,7 +77,8 @@ def run_one(batch, size, steps, cfg, bf16_params):
         return (time.perf_counter() - t0) / steps
 
     t1 = timeit(lambda: tr._translate(p0, x, z1))
-    tn = timeit(lambda: tr._translate_all_members(params, x, zn))
+    tn = (timeit(lambda: tr._translate_all_members(params, x, zn))
+          if int(os.environ.get("INFER_ALL_MEMBERS", "1")) else None)
     flops, nbytes = cost_analysis(tr._translate, p0, x, z1)
     if flops is None:  # analytic fallback: ~71 GMAC/img at 256px
         flops = 2 * 71e9 * (size / 256) ** 2 * batch
@@ -88,7 +91,8 @@ def run_one(batch, size, steps, cfg, bf16_params):
         "bf16_params": bool(bf16_params),
         "in_precision": cfg.in_precision,
         "single_member_img_s": round(ips1, 1),
-        "all4_members_img_s": round(batch * n / tn, 1),
+        "all4_members_img_s": (round(batch * n / tn, 1)
+                               if tn is not None else None),
         "single_member_ms": round(t1 * 1e3, 1),
         "xla_gflops_per_img": round(flops / batch / 1e9, 1),
         "xla_mbytes_per_img": round(nbytes / batch / 1e6, 2),
