@@ -261,6 +261,13 @@ class Config:
     # phase-decomposed decoder upsample+conv (exact rewrite, 9/25 the MACs);
     # automatically disabled in parity_mode (float summation order differs)
     fuse_upsample: bool = True
+    # one-step-deep host-side pipeline: stage batch k+1 (loader fetch, H2D
+    # transfer, augment dispatch) in a background thread while step k runs
+    # on device. Measured r3: the synchronous loop pays a 7.2% host gap at
+    # the headline config through the tunnel (BASELINE.md). Semantics are
+    # unchanged — the stage consumes explicit per-step fold_in keys and the
+    # loader sequentially, exactly as the synchronous order would.
+    host_prefetch: bool = True
     # total mesh size (1 = single chip); see parallel/mesh.py
     num_devices: int = 1
     # council (member) parallel axis size within num_devices; >1 selects the

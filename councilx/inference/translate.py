@@ -138,6 +138,78 @@ class Translator:
         return self._translate_all_members(stacked_params, x, z)
 
 
+class ShardedTranslator(Translator):
+    """Translator with the batch axis sharded over a device mesh — serving-
+    side data parallelism (the inference analogue of SURVEY.md §5.8; the
+    reference serves one image at a time on one GPU).
+
+    One jitted call translates a GLOBAL batch laid out over every chip of a
+    1-D ``('data',)`` mesh: params replicate, the batch shards on axis 0,
+    and because every image is independent XLA inserts no collectives at
+    all — throughput scales linearly with chip count and ICI stays idle.
+    Single-chip numerics are preserved exactly (batch sharding never splits
+    the spatial or channel dims a conv reduces over).
+
+    Use :meth:`place_params` once to pin the weights replicated on the mesh
+    (repeat callers otherwise pay a host->device transfer per call).
+    """
+
+    def __init__(self, cfg: Config, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if tuple(mesh.axis_names) != ("data",):
+            raise ValueError(
+                f"ShardedTranslator takes a 1-D ('data',) mesh, got axes "
+                f"{mesh.axis_names}")
+        super().__init__(cfg)
+        self.mesh = mesh
+        self._rep = NamedSharding(mesh, P())
+        self._bsh = NamedSharding(mesh, P("data"))
+        shardings = (self._rep, self._bsh, self._bsh)
+        # in_shardings pin the layout; outputs inherit the batch sharding
+        # through GSPMD propagation (no out_shardings needed).
+        self._sh_translate = jax.jit(
+            partial(Translator._translate.__wrapped__, self),
+            in_shardings=shardings)
+        self._sh_translate_u8 = jax.jit(
+            partial(Translator._translate_u8.__wrapped__, self),
+            in_shardings=shardings)
+
+    def place_params(self, params, member: Optional[int] = None):
+        """Replicate (a member slice of) the generator params on the mesh."""
+        if member is not None:
+            params = jax.tree_util.tree_map(lambda l: l[member], params)
+        return jax.device_put(params, self._rep)
+
+    def _check_batch(self, x):
+        n_dev = self.mesh.shape["data"]
+        if x.shape[0] % n_dev:
+            raise ValueError(
+                f"global batch {x.shape[0]} not divisible by data-axis "
+                f"size {n_dev} (pad the tail batch — see test_on_folder.py)")
+
+    def translate(self, params, x, z=None, rng=None,
+                  member: Optional[int] = None):
+        if member is not None:
+            params = jax.tree_util.tree_map(lambda l: l[member], params)
+        self._check_batch(x)
+        if z is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            z = jax.random.normal(rng, (x.shape[0], self.cfg.gen.style_dim))
+        return self._sh_translate(params, x, z)
+
+    def translate_u8(self, params, x, z=None, rng=None,
+                     member: Optional[int] = None) -> np.ndarray:
+        if member is not None:
+            params = jax.tree_util.tree_map(lambda l: l[member], params)
+        self._check_batch(x)
+        if z is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            z = jax.random.normal(rng, (x.shape[0], self.cfg.gen.style_dim))
+        return np.asarray(self._sh_translate_u8(params, x, z))
+
+
 def denormalize_to_uint8(img: np.ndarray) -> np.ndarray:
     """[-1,1] float -> uint8, matching the reference's save path
     (vutils.save_image((out+1)/2): scale, clamp, round)."""

@@ -152,9 +152,13 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
     # process augments its own slice of the global batch with exactly the
     # crops/flips a single-process run would apply to those rows
     row_off = jax.process_index() * local_bs
-    while step < limit:
+
+    def stage_batch(s: int):
+        """All host-side work for step s: loader fetch, H2D transfer,
+        augment dispatch, (multi-host) global-batch assembly. Keyed by the
+        step number, so staging ahead of time changes nothing."""
         a_u8, b_u8 = next(it_a), next(it_b)
-        k = jax.random.fold_in(aug_key, step)
+        k = jax.random.fold_in(aug_key, s)
         ka, kb = jax.random.split(k)
         x_a = augment_batch(ka, jnp.asarray(a_u8), crop_h, crop_w,
                             train=True, row_offset=row_off)
@@ -166,6 +170,28 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
             # sharding requires global arrays under multi-host
             x_a = multihost.make_global_batch(mesh, np.asarray(x_a))
             x_b = multihost.make_global_batch(mesh, np.asarray(x_b))
+        return x_a, x_b
+
+    # one-step-deep host pipeline (cfg.host_prefetch): batch k+1 is staged
+    # in a worker thread while step k's dispatches/readbacks run — without
+    # it the device idles for the full host+tunnel latency whenever the
+    # host blocks on a readback (log boundaries, sampling). Single worker →
+    # the loader is still consumed strictly in step order.
+    pool = None
+    pending = None
+    if cfg.host_prefetch:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1,
+                                  thread_name_prefix="councilx-stage")
+        pending = pool.submit(stage_batch, step)
+
+    while step < limit:
+        if pending is not None:
+            x_a, x_b = pending.result()
+            pending = (pool.submit(stage_batch, step + 1)
+                       if step + 1 < limit else None)
+        else:
+            x_a, x_b = stage_batch(step)
 
         if profile_steps and step == profile_steps.start:
             jax.profiler.start_trace(os.path.join(run_dir, "profile"))
@@ -183,7 +209,10 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
             images_per_sec = (window_steps * cfg.batch_size
                               / max(now - t_window, 1e-9))
             t_window, window_steps = now, 0
-            metrics = mask_skipped_metrics(dict(metrics))
+            # ONE batched readback for the whole metric dict: per-scalar
+            # np.asarray costs a tunnel round-trip each (2.4-7.7 ms x ~25
+            # metrics per window adds up to a visible per-step tax)
+            metrics = mask_skipped_metrics(jax.device_get(dict(metrics)))
             metrics["images_per_sec"] = images_per_sec
             if logger is not None:
                 logger.write(step, metrics)
@@ -215,6 +244,8 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
             # training continues (SURVEY.md §5.3)
             save_checkpoint(ckpt_dir, state, step, async_save=True)
 
+    if pool is not None:
+        pool.shutdown(wait=False)
     wait_for_checkpoints()
     save_checkpoint(ckpt_dir, state, step)
     if logger is not None:

@@ -66,10 +66,22 @@ def main():
                    help="style-guided mode: take the style code from this "
                         "example image instead of sampling z (uses the "
                         "generator's style encoder)")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard each batch over this many devices "
+                        "(0 = single device; batch_size must divide evenly)")
     args = p.parse_args()
 
     cfg = load_config(args.config)
-    translator = Translator(cfg)
+    if args.data_parallel > 1:
+        from councilx.inference.translate import ShardedTranslator
+        from councilx.parallel.mesh import make_mesh
+        if args.batch_size % args.data_parallel:
+            raise SystemExit(f"--batch_size {args.batch_size} not divisible "
+                             f"by --data_parallel {args.data_parallel}")
+        translator = ShardedTranslator(
+            cfg, make_mesh(n_devices=args.data_parallel))
+    else:
+        translator = Translator(cfg)
     params = load_generator_params(args.checkpoint, cfg, args.direction)
     os.makedirs(args.output_folder, exist_ok=True)
 

@@ -8,6 +8,8 @@
   * pallas conv3x3 XLA fallback when no VMEM plan fits
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -337,6 +339,113 @@ def test_translate_u8_matches_host_denormalize(rng):
     got = tr.translate_u8(params, x, z=z)
     assert got.dtype == np.uint8
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# sharded (data-parallel) serving
+# ---------------------------------------------------------------------------
+
+
+class TestShardedTranslator:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from councilx.inference.translate import ShardedTranslator, Translator
+        from councilx.parallel.mesh import make_mesh
+
+        cfg = tiny_config()
+        mesh = make_mesh(4)
+        base = Translator(cfg)
+        sharded = ShardedTranslator(cfg, mesh)
+        dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        params = base.gen.init(jax.random.PRNGKey(0), dummy)["params"]
+        return base, sharded, params, mesh
+
+    def test_matches_single_device(self, setup, rng):
+        """Batch sharding never splits the dims a conv reduces over, so the
+        sharded translate matches single-device up to compilation-level
+        float reassociation (XLA tiles a batch-2 shard differently than the
+        batch-8 whole; measured diff <=1.3e-6 abs on CPU)."""
+        base, sharded, params, _ = setup
+        x = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32))
+        z = jnp.asarray(rng.randn(8, 3).astype(np.float32))
+        want, want_mask = base.translate(params, x, z=z)
+        got, got_mask = sharded.translate(sharded.place_params(params), x,
+                                          z=z)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        if want_mask is not None:
+            np.testing.assert_allclose(np.asarray(got_mask),
+                                       np.asarray(want_mask),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_u8_matches(self, setup, rng):
+        base, sharded, params, _ = setup
+        x = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32))
+        z = jnp.asarray(rng.randn(8, 3).astype(np.float32))
+        np.testing.assert_array_equal(sharded.translate_u8(params, x, z=z),
+                                      base.translate_u8(params, x, z=z))
+
+    def test_output_is_batch_sharded(self, setup, rng):
+        """The translated batch must actually live sharded over the mesh
+        (one shard per device, split on axis 0)."""
+        base, sharded, params, mesh = setup
+        x = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32))
+        z = jnp.asarray(rng.randn(8, 3).astype(np.float32))
+        out, _ = sharded.translate(params, x, z=z)
+        shards = out.addressable_shards
+        assert len(shards) == 4
+        assert all(s.data.shape[0] == 2 for s in shards)
+
+    def test_ragged_batch_rejected(self, setup, rng):
+        _, sharded, params, _ = setup
+        x = jnp.zeros((6, 32, 32, 3), jnp.float32)  # 6 % 4 != 0
+        with pytest.raises(ValueError, match="not divisible"):
+            sharded.translate(params, x)
+
+    def test_requires_data_mesh(self, setup):
+        from councilx.inference.translate import ShardedTranslator
+        from jax.sharding import Mesh
+
+        devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+        with pytest.raises(ValueError, match="1-D"):
+            ShardedTranslator(tiny_config(),
+                              Mesh(devs, axis_names=("data", "council")))
+
+
+# ---------------------------------------------------------------------------
+# host prefetch pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_host_prefetch_loop_equivalence(tmp_path):
+    """host_prefetch stages batch k+1 in a worker thread while step k runs;
+    the staged work is keyed by step number and consumes the loader in step
+    order, so the trained parameters must be BITWISE identical to the
+    synchronous loop's."""
+    import orbax.checkpoint as ocp
+
+    from councilx.config import load_config
+    from councilx.train.loop import train
+
+    smoke = os.path.join(os.path.dirname(__file__), "..", "configs",
+                         "smoke_tiny.yaml")
+
+    def run(prefetch, name):
+        cfg = load_config(smoke)
+        cfg.host_prefetch = prefetch
+        train(cfg, output_path=str(tmp_path), run_name=name, synthetic=True,
+              max_steps=3)
+        path = os.path.join(str(tmp_path), name, "checkpoints",
+                            "step_00000003")
+        return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+
+    on = run(True, "prefetch_on")
+    off = run(False, "prefetch_off")
+    leaves_on = jax.tree_util.tree_leaves(on["params"])
+    leaves_off = jax.tree_util.tree_leaves(off["params"])
+    assert len(leaves_on) == len(leaves_off)
+    for a, b in zip(leaves_on, leaves_off):
+        np.testing.assert_array_equal(a, b)
 
 
 # ---------------------------------------------------------------------------
