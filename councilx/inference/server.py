@@ -1,0 +1,272 @@
+"""Production serving engine: dynamic micro-batching over the jitted
+translator (the serving-scale counterpart of the reference's one-image-at-a-
+time `test_on_folder.py` / `test_gui.py` paths — SURVEY.md §3.4/§3.5).
+
+Design (TPU-first):
+
+* **Static-shape batch buckets.** XLA compiles one executable per input
+  shape, so the engine never runs a ragged batch: requests are coalesced and
+  padded up to the next bucket in a fixed power-of-two ladder
+  (1, 2, 4, ... max_batch). At most log2(max_batch)+1 compiles ever happen,
+  and :meth:`BatchingEngine.warmup` takes them all at startup so no request
+  pays a compile.
+* **Deadline-based coalescing.** The worker takes the first queued request,
+  then drains the queue until either ``max_batch`` requests are in hand or
+  ``max_delay_ms`` has elapsed since the first arrival — the standard
+  latency/throughput knob (0 = no added latency, serve singles; a few ms
+  rides the measured batch-throughput curve in BASELINE.md, 869.8 img/s at
+  batch 384 vs ~600 at batch 16).
+* **One device stream.** All device work happens on the single worker
+  thread; callers only block on a Future. The uint8 on-device denormalize
+  path (`translate_u8`) keeps the D2H copy 4x smaller than f32.
+* **Mesh-ready.** With a :class:`ShardedTranslator` the bucket ladder is
+  constrained to multiples of the data-axis size, so every batch shards
+  evenly over the serving mesh with zero collectives.
+
+The z style vector is drawn per request (host-side, from a per-request
+``numpy`` Philox stream keyed by the seed) or supplied explicitly —
+identical distribution to the offline CLI, reproducible per seed.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def _bucket_ladder(max_batch: int, multiple: int) -> List[int]:
+    """Power-of-two ladder of batch sizes, each a multiple of `multiple`,
+    capped at max_batch (which is always included)."""
+    ladder = []
+    b = multiple
+    while b < max_batch:
+        ladder.append(b)
+        b *= 2
+    ladder.append(max_batch)
+    return ladder
+
+
+@dataclass
+class _Request:
+    x: np.ndarray            # (H, W, 3) float32 in [-1, 1]
+    z: np.ndarray            # (style_dim,) float32
+    future: Future = field(default_factory=Future)
+    t_submit: float = field(default_factory=time.perf_counter)
+
+
+@dataclass
+class EngineStats:
+    requests: int = 0
+    batches: int = 0
+    padded_rows: int = 0
+    images_done: int = 0
+    total_latency_s: float = 0.0
+    batch_hist: dict = field(default_factory=dict)
+
+    def snapshot(self) -> dict:
+        mean_lat = (self.total_latency_s / self.images_done
+                    if self.images_done else 0.0)
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "images_done": self.images_done,
+            "padded_rows": self.padded_rows,
+            "mean_latency_ms": round(mean_lat * 1e3, 3),
+            "batch_size_histogram": dict(sorted(self.batch_hist.items())),
+        }
+
+
+class BatchingEngine:
+    """Coalesce concurrent translate requests into padded static-shape
+    batches on a single device worker thread.
+
+    Parameters
+    ----------
+    translator : Translator | ShardedTranslator
+        The jitted translate stack. For a ShardedTranslator the bucket
+        ladder is forced to multiples of the mesh's data-axis size.
+    params
+        One member's generator params (slice with ``member=`` at load time
+        — serving runs one member; the interactive GUI is the multi-member
+        surface).
+    image_hw : (int, int)
+        The fixed serving resolution (requests are validated against it;
+        static shapes are what make the bucket ladder finite).
+    max_batch, max_delay_ms
+        Coalescing knobs (see module docstring).
+    """
+
+    def __init__(self, translator, params, image_hw, max_batch: int = 64,
+                 max_delay_ms: float = 5.0, pipeline: bool = True):
+        self.translator = translator
+        self.style_dim = translator.cfg.gen.style_dim
+        self.image_hw = tuple(image_hw)
+        mesh = getattr(translator, "mesh", None)
+        multiple = int(mesh.shape["data"]) if mesh is not None else 1
+        if max_batch % multiple:
+            raise ValueError(f"max_batch {max_batch} must be a multiple of "
+                             f"the serving mesh size {multiple}")
+        self.buckets = _bucket_ladder(max_batch, multiple)
+        self.max_batch = max_batch
+        self.max_delay_s = max_delay_ms / 1e3
+        if mesh is not None and hasattr(translator, "place_params"):
+            params = translator.place_params(params)
+        self.params = params
+        # 2-deep device pipeline: under sustained load, dispatch batch k+1
+        # BEFORE reading batch k back, so the D2H copy (uint8 but still a
+        # full batch of images through the tunnel) overlaps k+1's compute
+        self.pipeline = pipeline
+        self.stats = EngineStats()
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self._running = False
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self):
+        if self._running:
+            return
+        self._running = True
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="councilx-serve")
+        self._worker.start()
+
+    def stop(self):
+        if not self._running:
+            return
+        self._running = False
+        self._q.put(None)                      # wake the worker
+        self._worker.join(timeout=30)
+        self._worker = None
+
+    def warmup(self, buckets: Optional[Sequence[int]] = None):
+        """Compile every bucket executable before taking traffic (each TPU
+        compile is tens of seconds through a cold cache — never pay it on a
+        live request)."""
+        h, w = self.image_hw
+        for b in buckets if buckets is not None else self.buckets:
+            x = np.zeros((b, h, w, 3), np.float32)
+            z = np.zeros((b, self.style_dim), np.float32)
+            self.translator.translate_u8(self.params, x, z=z)
+
+    # -- request path -------------------------------------------------------
+
+    def make_z(self, seed: int) -> np.ndarray:
+        """Per-request style draw: standard normal from a Philox stream
+        keyed by the seed — same distribution as the CLI's jax.random path,
+        reproducible, no device dispatch."""
+        gen = np.random.Generator(np.random.Philox(seed))
+        return gen.standard_normal(self.style_dim).astype(np.float32)
+
+    def submit(self, x: np.ndarray, z: Optional[np.ndarray] = None,
+               seed: int = 0) -> Future:
+        """Enqueue one image (H,W,3) float32 in [-1,1]; resolves to the
+        translated uint8 (H,W,3) array."""
+        if not self._running:
+            raise RuntimeError("engine not started")
+        h, w = self.image_hw
+        if x.shape != (h, w, 3):
+            raise ValueError(f"request shape {x.shape} != serving shape "
+                             f"{(h, w, 3)} (resize host-side)")
+        if z is None:
+            z = self.make_z(seed)
+        req = _Request(np.asarray(x, np.float32), np.asarray(z, np.float32))
+        self._q.put(req)
+        return req.future
+
+    def translate_sync(self, x: np.ndarray, z: Optional[np.ndarray] = None,
+                       seed: int = 0, timeout: float = 120.0) -> np.ndarray:
+        return self.submit(x, z=z, seed=seed).result(timeout=timeout)
+
+    # -- worker -------------------------------------------------------------
+
+    def _collect(self, block: bool = True) -> List[_Request]:
+        """Take the first request (blocking, or non-blocking when a
+        dispatched batch is pending readback), then coalesce until max_batch
+        or the deadline elapses."""
+        try:
+            first = self._q.get() if block else self._q.get_nowait()
+        except queue.Empty:
+            return []
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_delay_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:                    # stop sentinel: put it back
+                self._q.put(None)
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self):
+        pending = None                         # (batch, device_out)
+        while self._running:
+            batch = self._collect(block=pending is None)
+            dev = None
+            if batch:
+                try:
+                    dev = self._dispatch(batch)
+                except Exception as e:         # fail the batch, keep serving
+                    self._fail(batch, e)
+                    batch = []
+            if pending is not None:
+                self._finish(*pending)
+                pending = None
+            if batch:
+                if self.pipeline:
+                    pending = (batch, dev)     # readback next iteration
+                else:
+                    self._finish(batch, dev)
+        if pending is not None:                # stop(): flush in-flight work
+            self._finish(*pending)
+
+    def _fail(self, batch: List[_Request], e: Exception):
+        for r in batch:
+            if not r.future.done():
+                r.future.set_exception(e)
+
+    def _dispatch(self, batch: List[_Request]):
+        """Assemble + pad to the bucket and enqueue the device computation;
+        returns the device array WITHOUT blocking on the result."""
+        n = len(batch)
+        bucket = next(b for b in self.buckets if b >= n)
+        h, w = self.image_hw
+        x = np.zeros((bucket, h, w, 3), np.float32)
+        z = np.zeros((bucket, self.style_dim), np.float32)
+        for i, r in enumerate(batch):
+            x[i] = r.x
+            z[i] = r.z
+        st = self.stats
+        st.batches += 1
+        st.padded_rows += bucket - n
+        st.batch_hist[bucket] = st.batch_hist.get(bucket, 0) + 1
+        return self.translator.translate_u8_device(self.params, x, z=z)
+
+    def _finish(self, batch: List[_Request], dev):
+        """Block on the readback and resolve the batch's futures."""
+        try:
+            out = np.asarray(dev)
+        except Exception as e:
+            self._fail(batch, e)
+            return
+        now = time.perf_counter()
+        st = self.stats
+        st.requests += len(batch)
+        st.images_done += len(batch)
+        for i, r in enumerate(batch):
+            st.total_latency_s += now - r.t_submit
+            r.future.set_result(out[i])

@@ -118,13 +118,23 @@ class Translator:
                      member: Optional[int] = None) -> np.ndarray:
         """Translate and return uint8 images (B,H,W,3), denormalized on
         device (see _translate_u8)."""
+        return np.asarray(self.translate_u8_device(params, x, z=z, rng=rng,
+                                                   member=member))
+
+    def translate_u8_device(self, params, x: jnp.ndarray,
+                            z: Optional[jnp.ndarray] = None,
+                            rng: Optional[jax.Array] = None,
+                            member: Optional[int] = None) -> jax.Array:
+        """Like translate_u8 but returns the DEVICE array without the
+        blocking host readback — the serving engine's pipelining hook
+        (dispatch batch k+1 while batch k's D2H copy is in flight)."""
         if member is not None:
             params = jax.tree_util.tree_map(lambda l: l[member], params)
         if z is None:
             if rng is None:
                 rng = jax.random.PRNGKey(0)
             z = jax.random.normal(rng, (x.shape[0], self.cfg.gen.style_dim))
-        return np.asarray(self._translate_u8(params, x, z))
+        return self._translate_u8(params, x, z)
 
     def translate_all_members(self, stacked_params, x: jnp.ndarray,
                               z: Optional[jnp.ndarray] = None,
@@ -200,6 +210,11 @@ class ShardedTranslator(Translator):
 
     def translate_u8(self, params, x, z=None, rng=None,
                      member: Optional[int] = None) -> np.ndarray:
+        return np.asarray(self.translate_u8_device(params, x, z=z, rng=rng,
+                                                   member=member))
+
+    def translate_u8_device(self, params, x, z=None, rng=None,
+                            member: Optional[int] = None):
         if member is not None:
             params = jax.tree_util.tree_map(lambda l: l[member], params)
         self._check_batch(x)
@@ -207,7 +222,7 @@ class ShardedTranslator(Translator):
             if rng is None:
                 rng = jax.random.PRNGKey(0)
             z = jax.random.normal(rng, (x.shape[0], self.cfg.gen.style_dim))
-        return np.asarray(self._sh_translate_u8(params, x, z))
+        return self._sh_translate_u8(params, x, z)
 
 
 def denormalize_to_uint8(img: np.ndarray) -> np.ndarray:

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Batched translation server — production serving for a trained council
+member (the serving-scale counterpart of the reference's interactive
+test_gui.py / per-image test_on_folder.py; SURVEY.md §3.4/§3.5).
+
+    python serve.py --config configs/male2female_council_folder.yaml \
+        --checkpoint outputs/run/checkpoints --member 0 [--port 8766] \
+        [--max_batch 64] [--max_delay_ms 5] [--data_parallel N]
+
+Concurrent POSTs are coalesced by councilx.inference.server.BatchingEngine
+into padded static-shape batches (power-of-two bucket ladder, all compiled
+at startup), run through the on-device uint8 translate path, and returned
+as JPEG. Endpoints:
+
+    POST /translate[?seed=N][&quality=Q]   image bytes in, JPEG out
+    GET  /healthz                          liveness + config summary
+    GET  /stats                            batching/latency counters
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+import urllib.parse
+
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def preprocess_bytes(data: bytes, new_size: int, crop: int):
+    """Image bytes -> (crop, crop, 3) float32 in [-1,1] — the exact CLI
+    preprocessing (shorter-side bilinear resize + center crop, PIL path),
+    normalized host-side (no device dispatch per request)."""
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    w, h = img.size
+    if min(w, h) != new_size:
+        if w <= h:
+            nw, nh = new_size, max(1, round(h * new_size / w))
+        else:
+            nw, nh = max(1, round(w * new_size / h)), new_size
+        img = img.resize((nw, nh), Image.BILINEAR)
+    w, h = img.size
+    left, top = (w - crop) // 2, (h - crop) // 2
+    img = img.crop((left, top, left + crop, top + crop))
+    arr = np.asarray(img, dtype=np.float32)
+    return (arr - 127.5) / 127.5
+
+
+def build_engine(cfg, checkpoint: str, member: int, direction: str,
+                 max_batch: int, max_delay_ms: float, data_parallel: int,
+                 warmup: bool = True):
+    import jax
+    from councilx.inference.server import BatchingEngine
+    from councilx.inference.translate import ShardedTranslator, Translator
+    from test_on_folder import load_generator_params
+
+    if data_parallel > 1:
+        from councilx.parallel.mesh import make_mesh
+        translator = ShardedTranslator(cfg, make_mesh(data_parallel))
+    else:
+        translator = Translator(cfg)
+    stacked = load_generator_params(checkpoint, cfg, direction)
+    params = jax.tree_util.tree_map(lambda l: l[member], stacked)
+    crop = cfg.data.crop_image_height
+    engine = BatchingEngine(translator, params, image_hw=(crop, crop),
+                            max_batch=max_batch, max_delay_ms=max_delay_ms)
+    engine.start()
+    if warmup:
+        engine.warmup()
+    return engine
+
+
+def make_handler(engine, cfg):
+    import numpy as np
+    from PIL import Image
+
+    new_size = cfg.data.new_size
+    crop = cfg.data.crop_image_height
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):      # quiet access log
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = urllib.parse.urlparse(self.path).path
+            if path == "/healthz":
+                self._json({"ok": True, "serving_hw": list(engine.image_hw),
+                            "buckets": engine.buckets,
+                            "max_delay_ms": engine.max_delay_s * 1e3})
+            elif path == "/stats":
+                self._json(engine.stats.snapshot())
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path != "/translate":
+                self._json({"error": "not found"}, 404)
+                return
+            q = urllib.parse.parse_qs(parsed.query)
+            seed = int(q.get("seed", ["0"])[0])
+            quality = int(q.get("quality", ["95"])[0])
+            length = int(self.headers.get("Content-Length", "0"))
+            if not length:
+                self._json({"error": "empty body"}, 400)
+                return
+            data = self.rfile.read(length)
+            try:
+                x = preprocess_bytes(data, new_size, crop)
+            except Exception as e:
+                self._json({"error": f"bad image: {e}"}, 400)
+                return
+            try:
+                out = engine.translate_sync(x, seed=seed)
+            except Exception as e:
+                self._json({"error": f"translate failed: {e}"}, 500)
+                return
+            buf = io.BytesIO()
+            Image.fromarray(np.asarray(out)).save(buf, format="JPEG",
+                                                  quality=quality)
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "image/jpeg")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def main():
+    from councilx.utils.platform import apply_env_platform
+    apply_env_platform()
+    from councilx.config import load_config
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--member", type=int, default=0)
+    p.add_argument("--direction", default="a2b", choices=["a2b", "b2a"])
+    p.add_argument("--port", type=int, default=8766)
+    p.add_argument("--max_batch", type=int, default=64)
+    p.add_argument("--max_delay_ms", type=float, default=5.0)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard serving batches over this many devices")
+    p.add_argument("--no_warmup", action="store_true")
+    args = p.parse_args()
+
+    cfg = load_config(args.config)
+    engine = build_engine(cfg, args.checkpoint, args.member, args.direction,
+                          args.max_batch, args.max_delay_ms,
+                          args.data_parallel, warmup=not args.no_warmup)
+    server = ThreadingHTTPServer(("0.0.0.0", args.port),
+                                 make_handler(engine, cfg))
+    print(f"serving member {args.member} on http://localhost:{args.port} "
+          f"(buckets {engine.buckets}, delay {args.max_delay_ms} ms)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        engine.stop()
+
+
+if __name__ == "__main__":
+    main()

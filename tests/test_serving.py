@@ -1,0 +1,326 @@
+"""Serving engine + HTTP server tests (round 3).
+
+The BatchingEngine coalesces concurrent requests into padded static-shape
+bucket batches; these tests pin down:
+  * bucket-1 exactness vs the direct translate_u8 path
+  * coalescing actually batches (fewer device calls than requests) without
+    changing results beyond float reassociation (uint8 diff <= 1)
+  * tail padding to the next bucket
+  * mesh-constrained bucket ladders for sharded serving
+  * the serve.py HTTP surface end-to-end (subprocess, like test_gui.py)
+"""
+
+import http.client
+import io
+import json
+import os
+import socket
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+from test_train_step import tiny_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _make_translator_params(cfg):
+    from councilx.inference.translate import Translator
+
+    tr = Translator(cfg)
+    dummy = np.zeros((1, 32, 32, 3), np.float32)
+    stacked = jax.vmap(tr.gen.init, in_axes=(0, None))(
+        jax.random.split(jax.random.PRNGKey(0), 2), dummy)["params"]
+    params = jax.tree_util.tree_map(lambda l: l[0], stacked)
+    return tr, params, stacked
+
+
+@pytest.fixture(scope="module")
+def engine_setup():
+    from councilx.inference.server import BatchingEngine
+
+    cfg = tiny_config()
+    tr, params, _ = _make_translator_params(cfg)
+    engine = BatchingEngine(tr, params, image_hw=(32, 32), max_batch=8,
+                            max_delay_ms=100.0)
+    engine.start()
+    yield engine, tr, params
+    engine.stop()
+
+
+class TestBucketLadder:
+    def test_plain(self):
+        from councilx.inference.server import _bucket_ladder
+        assert _bucket_ladder(64, 1) == [1, 2, 4, 8, 16, 32, 64]
+
+    def test_mesh_multiple(self):
+        from councilx.inference.server import _bucket_ladder
+        assert _bucket_ladder(64, 4) == [4, 8, 16, 32, 64]
+
+    def test_non_pow2_cap(self):
+        from councilx.inference.server import _bucket_ladder
+        assert _bucket_ladder(48, 1) == [1, 2, 4, 8, 16, 32, 48]
+
+
+class TestBatchingEngine:
+    def test_single_request_exact(self, engine_setup, rng):
+        """An idle engine serves a lone request at bucket 1 — output must be
+        bit-identical to the direct batch-1 translate_u8 path."""
+        engine, tr, params = engine_setup
+        x = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+        z = engine.make_z(7)
+        got = engine.translate_sync(x, z=z)
+        want = tr.translate_u8(params, x[None], z=z[None])[0]
+        np.testing.assert_array_equal(got, want)
+
+    def test_concurrent_requests_coalesce(self, engine_setup, rng):
+        """8 concurrent submits inside the 100 ms window must land in fewer
+        device batches than requests, and each result must match the direct
+        batch-1 output within one uint8 step (batched-vs-single float
+        reassociation only)."""
+        engine, tr, params = engine_setup
+        b0 = engine.stats.batches
+        xs = [rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+              for _ in range(8)]
+        zs = [engine.make_z(i) for i in range(8)]
+        futs = [None] * 8
+
+        def post(i):
+            futs[i] = engine.submit(xs[i], z=zs[i])
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        outs = [f.result(timeout=120) for f in futs]
+        assert engine.stats.batches - b0 < 8
+        for x, z, got in zip(xs, zs, outs):
+            want = tr.translate_u8(params, x[None], z=z[None])[0]
+            diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+            assert diff.max() <= 1
+
+    def test_tail_padding(self, engine_setup, rng):
+        """3 coalesced requests pad to bucket 4 and still return 3 valid
+        results."""
+        engine, _, _ = engine_setup
+        p0 = engine.stats.padded_rows
+        xs = [rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+              for _ in range(3)]
+        futs = [None] * 3
+
+        def post(i):
+            futs[i] = engine.submit(xs[i], seed=i)
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        outs = [f.result(timeout=120) for f in futs]
+        assert all(o.shape == (32, 32, 3) and o.dtype == np.uint8
+                   for o in outs)
+        # either they coalesced (padded to 4) or served singly (bucket 1,
+        # no padding); both are legal — but any multi-request batch pads
+        if engine.stats.padded_rows > p0:
+            assert engine.stats.padded_rows - p0 in (1, 2)
+
+    def test_bad_shape_rejected(self, engine_setup):
+        engine, _, _ = engine_setup
+        with pytest.raises(ValueError, match="serving shape"):
+            engine.submit(np.zeros((16, 16, 3), np.float32))
+
+    def test_make_z_reproducible(self, engine_setup):
+        engine, _, _ = engine_setup
+        np.testing.assert_array_equal(engine.make_z(42), engine.make_z(42))
+        assert not np.array_equal(engine.make_z(42), engine.make_z(43))
+
+    def test_stats_snapshot_keys(self, engine_setup):
+        engine, _, _ = engine_setup
+        snap = engine.stats.snapshot()
+        for k in ("requests", "batches", "images_done", "padded_rows",
+                  "mean_latency_ms", "batch_size_histogram"):
+            assert k in snap
+
+
+class TestShardedEngine:
+    def test_mesh_bucket_ladder_and_serve(self, rng):
+        """Engine over a 4-device data mesh: buckets are multiples of 4 and
+        a lone request pads to the smallest shardable bucket."""
+        from councilx.inference.server import BatchingEngine
+        from councilx.inference.translate import ShardedTranslator
+        from councilx.parallel.mesh import make_mesh
+
+        cfg = tiny_config()
+        _, params, _ = _make_translator_params(cfg)
+        tr = ShardedTranslator(cfg, make_mesh(4))
+        engine = BatchingEngine(tr, params, image_hw=(32, 32), max_batch=8,
+                                max_delay_ms=1.0)
+        engine.start()
+        try:
+            assert engine.buckets == [4, 8]
+            x = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+            out = engine.translate_sync(x, seed=0)
+            assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+            assert engine.stats.padded_rows >= 3
+        finally:
+            engine.stop()
+
+    def test_max_batch_must_divide(self):
+        from councilx.inference.server import BatchingEngine
+        from councilx.inference.translate import ShardedTranslator
+        from councilx.parallel.mesh import make_mesh
+
+        cfg = tiny_config()
+        _, params, _ = _make_translator_params(cfg)
+        tr = ShardedTranslator(cfg, make_mesh(4))
+        with pytest.raises(ValueError, match="multiple"):
+            BatchingEngine(tr, params, image_hw=(32, 32), max_batch=6)
+
+
+# ---------------------------------------------------------------------------
+# serve.py HTTP surface
+# ---------------------------------------------------------------------------
+
+SERVE_YAML = """
+batch_size: 1
+compute_dtype: float32
+new_size: 20
+crop_image_height: 16
+crop_image_width: 16
+gen: {dim: 8, mlp_dim: 16, style_dim: 3, n_downsample: 2, n_res: 1}
+dis: {dim: 8, n_layer: 2, num_scales: 1}
+council: {council_size: 2, council_w: 0.2}
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def serve_server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    cfg_path = tmp / "tiny.yaml"
+    cfg_path.write_text(SERVE_YAML)
+
+    from councilx.ckpt.manager import save_params_npz
+    from councilx.config import load_config
+    from councilx.inference.translate import Translator
+
+    cfg = load_config(str(cfg_path))
+    tr = Translator(cfg)
+    dummy = np.zeros((1, 16, 16, 3), np.float32)
+    params = jax.vmap(tr.gen.init, in_axes=(0, None))(
+        jax.random.split(jax.random.PRNGKey(0), 2), dummy)["params"]
+    ckpt = tmp / "gen.npz"
+    save_params_npz(str(ckpt), params)
+
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve.py"),
+         "--config", str(cfg_path), "--checkpoint", str(ckpt),
+         "--member", "0", "--port", str(port), "--max_batch", "4",
+         "--max_delay_ms", "2"],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+
+    deadline = time.time() + 180
+    last_err = None
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            out = proc.stdout.read().decode(errors="replace")
+            raise RuntimeError(f"serve.py exited early:\n{out}")
+        try:
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+            c.request("GET", "/healthz")
+            c.getresponse().read()
+            c.close()
+            break
+        except OSError as e:
+            last_err = e
+            time.sleep(0.5)
+    else:
+        proc.terminate()
+        raise RuntimeError(f"serve.py never came up: {last_err}")
+
+    yield port
+    proc.terminate()
+    proc.wait(timeout=30)
+
+
+def _get(port, path, timeout=300):
+    c = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    c.request("GET", path)
+    resp = c.getresponse()
+    body = resp.read()
+    c.close()
+    return resp.status, resp.getheader("Content-Type"), body
+
+
+def _post(port, path, body, timeout=300):
+    c = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    c.request("POST", path, body=body)
+    resp = c.getresponse()
+    out = resp.read()
+    c.close()
+    return resp.status, resp.getheader("Content-Type"), out
+
+
+def _jpeg_bytes(hw=24):
+    from PIL import Image
+    r = np.random.RandomState(3)
+    buf = io.BytesIO()
+    Image.fromarray(r.randint(0, 255, (hw, hw, 3), np.uint8)).save(
+        buf, format="JPEG")
+    return buf.getvalue()
+
+
+class TestServeHTTP:
+    def test_healthz(self, serve_server):
+        status, _, body = _get(serve_server, "/healthz")
+        meta = json.loads(body)
+        assert status == 200 and meta["ok"]
+        assert meta["serving_hw"] == [16, 16]
+        assert meta["buckets"] == [1, 2, 4]
+
+    def test_translate_roundtrip(self, serve_server):
+        status, ctype, body = _post(serve_server, "/translate?seed=5",
+                                    _jpeg_bytes())
+        assert status == 200 and ctype == "image/jpeg"
+        from PIL import Image
+        img = Image.open(io.BytesIO(body))
+        assert img.size == (16, 16)
+
+    def test_translate_deterministic_per_seed(self, serve_server):
+        raw = _jpeg_bytes()
+        _, _, a = _post(serve_server, "/translate?seed=5", raw)
+        _, _, b = _post(serve_server, "/translate?seed=5", raw)
+        assert a == b
+
+    def test_bad_image_400(self, serve_server):
+        status, _, body = _post(serve_server, "/translate",
+                                b"this is not an image")
+        assert status == 400
+        assert b"bad image" in body
+
+    def test_empty_body_400(self, serve_server):
+        status, _, _ = _post(serve_server, "/translate", b"")
+        assert status == 400
+
+    def test_stats(self, serve_server):
+        status, _, body = _get(serve_server, "/stats")
+        snap = json.loads(body)
+        assert status == 200
+        assert snap["requests"] >= 1 and snap["batches"] >= 1

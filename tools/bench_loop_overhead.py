@@ -11,7 +11,8 @@ only sync points are the log_iter metric readbacks), so a small delta means
 no double-buffering is needed.
 
 Env: LOOP_BATCH (8), LOOP_STEPS (40), LOOP_COUNCIL (4), LOOP_LOG_ITER (10),
-LOOP_IN_PRECISION (config default).
+LOOP_IN_PRECISION (config default), LOOP_PREFETCH (config default; 0/1
+toggles cfg.host_prefetch to measure the double-buffering delta).
 """
 
 import json
@@ -44,6 +45,8 @@ def main():
         "max_iter": steps,
         **({"in_precision": os.environ["LOOP_IN_PRECISION"]}
            if "LOOP_IN_PRECISION" in os.environ else {}),
+        **({"host_prefetch": bool(int(os.environ["LOOP_PREFETCH"]))}
+           if "LOOP_PREFETCH" in os.environ else {}),
         "council": {"council_size": council, "council_w": 0.2,
                     "council_start_at_iter": 0},
         "focus_loss": {"focus_enabled": True},
