@@ -16,9 +16,17 @@ Design (TPU-first):
   latency/throughput knob (0 = no added latency, serve singles; a few ms
   rides the measured batch-throughput curve in BASELINE.md, 869.8 img/s at
   batch 384 vs ~600 at batch 16).
-* **One device stream.** All device work happens on the single worker
-  thread; callers only block on a Future. The uint8 on-device denormalize
-  path (`translate_u8`) keeps the D2H copy 4x smaller than f32.
+* **uint8 on the wire, both ways.** The default wire format ships uint8
+  batches to the device and normalizes there (`translate_u8io`: the exact
+  host formula, fused on the VPU), and denormalizes to uint8 on device
+  before the readback — 4x less H2D and 4x less D2H than f32. Measured
+  (BASELINE.md): host<->device transfer, not compute, dominates the online
+  serving cycle, so wire bytes are the first-order knob.
+* **Full-duplex pipeline.** A dispatch thread assembles, uploads and
+  enqueues batch k+1 while a readback thread drains batch k's result —
+  upload, device compute and download of consecutive batches overlap
+  (bounded 2-deep, so at most two batches are in flight). ``pipeline=False``
+  serializes the cycle on one thread for latency-honest single-stream runs.
 * **Mesh-ready.** With a :class:`ShardedTranslator` the bucket ladder is
   constrained to multiples of the data-axis size, so every batch shards
   evenly over the serving mesh with zero collectives.
@@ -100,10 +108,20 @@ class BatchingEngine:
         static shapes are what make the bucket ladder finite).
     max_batch, max_delay_ms
         Coalescing knobs (see module docstring).
+    wire_format : "u8" | "f32"
+        "u8" (default): requests are uint8 (H,W,3) in [0,255], normalized
+        on device — 4x less host->device traffic. "f32": requests are
+        float32 in [-1,1] (the CLI convention).
     """
 
     def __init__(self, translator, params, image_hw, max_batch: int = 64,
-                 max_delay_ms: float = 5.0, pipeline: bool = True):
+                 max_delay_ms: float = 5.0, pipeline: bool = True,
+                 wire_format: str = "u8"):
+        if wire_format not in ("u8", "f32"):
+            raise ValueError(f"wire_format must be 'u8' or 'f32', "
+                             f"got {wire_format!r}")
+        self.wire_format = wire_format
+        self._wire_dtype = np.uint8 if wire_format == "u8" else np.float32
         self.translator = translator
         self.style_dim = translator.cfg.gen.style_dim
         self.image_hw = tuple(image_hw)
@@ -118,13 +136,17 @@ class BatchingEngine:
         if mesh is not None and hasattr(translator, "place_params"):
             params = translator.place_params(params)
         self.params = params
-        # 2-deep device pipeline: under sustained load, dispatch batch k+1
-        # BEFORE reading batch k back, so the D2H copy (uint8 but still a
-        # full batch of images through the tunnel) overlaps k+1's compute
+        # full-duplex pipeline: the dispatch thread assembles + uploads +
+        # enqueues batch k+1 while the readback thread drains batch k — the
+        # H2D copy, device compute and D2H copy of consecutive batches
+        # overlap (at most 2 batches in flight, bounded by the queue)
         self.pipeline = pipeline
         self.stats = EngineStats()
+        self._stats_lock = threading.Lock()
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
-        self._worker: Optional[threading.Thread] = None
+        self._ready: "queue.Queue" = queue.Queue(maxsize=2)
+        self._dispatcher: Optional[threading.Thread] = None
+        self._reader: Optional[threading.Thread] = None
         self._running = False
 
     # -- lifecycle ----------------------------------------------------------
@@ -133,17 +155,29 @@ class BatchingEngine:
         if self._running:
             return
         self._running = True
-        self._worker = threading.Thread(target=self._run, daemon=True,
-                                        name="councilx-serve")
-        self._worker.start()
+        self._dispatcher = threading.Thread(
+            target=self._run_dispatch, daemon=True, name="councilx-serve-d")
+        self._dispatcher.start()
+        if self.pipeline:
+            self._reader = threading.Thread(
+                target=self._run_readback, daemon=True,
+                name="councilx-serve-r")
+            self._reader.start()
 
     def stop(self):
         if not self._running:
             return
         self._running = False
-        self._q.put(None)                      # wake the worker
-        self._worker.join(timeout=30)
-        self._worker = None
+        self._q.put(None)                      # wake the dispatcher
+        self._dispatcher.join(timeout=60)
+        self._dispatcher = None
+        if self._reader is not None:
+            self._reader.join(timeout=60)      # sentinel sent by dispatcher
+            self._reader = None
+
+    def snapshot_stats(self) -> dict:
+        with self._stats_lock:
+            return self.stats.snapshot()
 
     def warmup(self, buckets: Optional[Sequence[int]] = None):
         """Compile every bucket executable before taking traffic (each TPU
@@ -151,9 +185,9 @@ class BatchingEngine:
         live request)."""
         h, w = self.image_hw
         for b in buckets if buckets is not None else self.buckets:
-            x = np.zeros((b, h, w, 3), np.float32)
+            x = np.zeros((b, h, w, 3), self._wire_dtype)
             z = np.zeros((b, self.style_dim), np.float32)
-            self.translator.translate_u8(self.params, x, z=z)
+            np.asarray(self._device_call(x, z))
 
     # -- request path -------------------------------------------------------
 
@@ -166,17 +200,25 @@ class BatchingEngine:
 
     def submit(self, x: np.ndarray, z: Optional[np.ndarray] = None,
                seed: int = 0) -> Future:
-        """Enqueue one image (H,W,3) float32 in [-1,1]; resolves to the
-        translated uint8 (H,W,3) array."""
+        """Enqueue one image (H,W,3) — uint8 in [0,255] ("u8" wire) or
+        float32 in [-1,1] ("f32" wire); resolves to the translated uint8
+        (H,W,3) array."""
         if not self._running:
             raise RuntimeError("engine not started")
         h, w = self.image_hw
+        x = np.asarray(x)
         if x.shape != (h, w, 3):
             raise ValueError(f"request shape {x.shape} != serving shape "
                              f"{(h, w, 3)} (resize host-side)")
+        if self.wire_format == "u8" and x.dtype != np.uint8:
+            raise ValueError(
+                "this engine's wire format is uint8 [0,255]; got dtype "
+                f"{x.dtype} (pass raw uint8 pixels, or build the engine "
+                "with wire_format='f32')")
         if z is None:
             z = self.make_z(seed)
-        req = _Request(np.asarray(x, np.float32), np.asarray(z, np.float32))
+        req = _Request(x.astype(self._wire_dtype, copy=False),
+                       np.asarray(z, np.float32))
         self._q.put(req)
         return req.future
 
@@ -186,14 +228,10 @@ class BatchingEngine:
 
     # -- worker -------------------------------------------------------------
 
-    def _collect(self, block: bool = True) -> List[_Request]:
-        """Take the first request (blocking, or non-blocking when a
-        dispatched batch is pending readback), then coalesce until max_batch
-        or the deadline elapses."""
-        try:
-            first = self._q.get() if block else self._q.get_nowait()
-        except queue.Empty:
-            return []
+    def _collect(self) -> List[_Request]:
+        """Block for the first request, then coalesce until max_batch or
+        the deadline elapses."""
+        first = self._q.get()
         if first is None:
             return []
         batch = [first]
@@ -212,32 +250,39 @@ class BatchingEngine:
             batch.append(nxt)
         return batch
 
-    def _run(self):
-        pending = None                         # (batch, device_out)
+    def _run_dispatch(self):
         while self._running:
-            batch = self._collect(block=pending is None)
-            dev = None
-            if batch:
-                try:
-                    dev = self._dispatch(batch)
-                except Exception as e:         # fail the batch, keep serving
-                    self._fail(batch, e)
-                    batch = []
-            if pending is not None:
-                self._finish(*pending)
-                pending = None
-            if batch:
-                if self.pipeline:
-                    pending = (batch, dev)     # readback next iteration
-                else:
-                    self._finish(batch, dev)
-        if pending is not None:                # stop(): flush in-flight work
-            self._finish(*pending)
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                dev = self._dispatch(batch)
+            except Exception as e:             # fail the batch, keep serving
+                self._fail(batch, e)
+                continue
+            if self.pipeline:
+                self._ready.put((batch, dev))  # bounded: 2-deep backpressure
+            else:
+                self._finish(batch, dev)
+        if self.pipeline:                      # stop(): let the reader drain
+            self._ready.put(None)
+
+    def _run_readback(self):
+        while True:
+            item = self._ready.get()
+            if item is None:
+                return
+            self._finish(*item)
 
     def _fail(self, batch: List[_Request], e: Exception):
         for r in batch:
             if not r.future.done():
                 r.future.set_exception(e)
+
+    def _device_call(self, x: np.ndarray, z: np.ndarray):
+        if self.wire_format == "u8":
+            return self.translator.translate_u8io_device(self.params, x, z=z)
+        return self.translator.translate_u8_device(self.params, x, z=z)
 
     def _dispatch(self, batch: List[_Request]):
         """Assemble + pad to the bucket and enqueue the device computation;
@@ -245,16 +290,17 @@ class BatchingEngine:
         n = len(batch)
         bucket = next(b for b in self.buckets if b >= n)
         h, w = self.image_hw
-        x = np.zeros((bucket, h, w, 3), np.float32)
+        x = np.zeros((bucket, h, w, 3), self._wire_dtype)
         z = np.zeros((bucket, self.style_dim), np.float32)
         for i, r in enumerate(batch):
             x[i] = r.x
             z[i] = r.z
-        st = self.stats
-        st.batches += 1
-        st.padded_rows += bucket - n
-        st.batch_hist[bucket] = st.batch_hist.get(bucket, 0) + 1
-        return self.translator.translate_u8_device(self.params, x, z=z)
+        with self._stats_lock:
+            st = self.stats
+            st.batches += 1
+            st.padded_rows += bucket - n
+            st.batch_hist[bucket] = st.batch_hist.get(bucket, 0) + 1
+        return self._device_call(x, z)
 
     def _finish(self, batch: List[_Request], dev):
         """Block on the readback and resolve the batch's futures."""
@@ -264,9 +310,11 @@ class BatchingEngine:
             self._fail(batch, e)
             return
         now = time.perf_counter()
-        st = self.stats
-        st.requests += len(batch)
-        st.images_done += len(batch)
+        with self._stats_lock:
+            st = self.stats
+            st.requests += len(batch)
+            st.images_done += len(batch)
+            for r in batch:
+                st.total_latency_s += now - r.t_submit
         for i, r in enumerate(batch):
-            st.total_latency_s += now - r.t_submit
             r.future.set_result(out[i])

@@ -82,6 +82,18 @@ class Translator:
         return (arr * 255.0 + 0.5).astype(jnp.uint8)
 
     @partial(jax.jit, static_argnums=0)
+    def _translate_u8io(self, params, x_u8: jnp.ndarray, z: jnp.ndarray
+                        ) -> jnp.ndarray:
+        """Serving wire path: uint8 in, uint8 out. The host->device copy is
+        4x smaller than shipping f32 (images arrive as uint8 anyway — a
+        server normalizing host-side just inflates the wire), and the
+        normalize ``(x - 127.5) / 127.5`` runs fused on the VPU with the
+        EXACT formula the CLI/host path uses, so numerics match the f32-wire
+        path bit for bit."""
+        x = (x_u8.astype(jnp.float32) - 127.5) / 127.5
+        return self._translate_u8.__wrapped__(self, params, x, z)
+
+    @partial(jax.jit, static_argnums=0)
     def _encode_style(self, params, x: jnp.ndarray) -> jnp.ndarray:
         return self.gen.apply({"params": params}, x.astype(self.dtype),
                               method=AdaINGen.encode_style
@@ -136,6 +148,28 @@ class Translator:
             z = jax.random.normal(rng, (x.shape[0], self.cfg.gen.style_dim))
         return self._translate_u8(params, x, z)
 
+    def translate_u8io_device(self, params, x_u8: jnp.ndarray,
+                              z: Optional[jnp.ndarray] = None,
+                              rng: Optional[jax.Array] = None,
+                              member: Optional[int] = None) -> jax.Array:
+        """uint8-in/uint8-out translate returning the device array (see
+        _translate_u8io); the batching server's default wire format."""
+        if member is not None:
+            params = jax.tree_util.tree_map(lambda l: l[member], params)
+        if z is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            z = jax.random.normal(rng,
+                                  (x_u8.shape[0], self.cfg.gen.style_dim))
+        return self._translate_u8io(params, x_u8, z)
+
+    def translate_u8io(self, params, x_u8: jnp.ndarray,
+                       z: Optional[jnp.ndarray] = None,
+                       rng: Optional[jax.Array] = None,
+                       member: Optional[int] = None) -> np.ndarray:
+        return np.asarray(self.translate_u8io_device(params, x_u8, z=z,
+                                                     rng=rng, member=member))
+
     def translate_all_members(self, stacked_params, x: jnp.ndarray,
                               z: Optional[jnp.ndarray] = None,
                               rng: Optional[jax.Array] = None):
@@ -183,6 +217,9 @@ class ShardedTranslator(Translator):
         self._sh_translate_u8 = jax.jit(
             partial(Translator._translate_u8.__wrapped__, self),
             in_shardings=shardings)
+        self._sh_translate_u8io = jax.jit(
+            partial(Translator._translate_u8io.__wrapped__, self),
+            in_shardings=shardings)
 
     def place_params(self, params, member: Optional[int] = None):
         """Replicate (a member slice of) the generator params on the mesh."""
@@ -223,6 +260,18 @@ class ShardedTranslator(Translator):
                 rng = jax.random.PRNGKey(0)
             z = jax.random.normal(rng, (x.shape[0], self.cfg.gen.style_dim))
         return self._sh_translate_u8(params, x, z)
+
+    def translate_u8io_device(self, params, x_u8, z=None, rng=None,
+                              member: Optional[int] = None):
+        if member is not None:
+            params = jax.tree_util.tree_map(lambda l: l[member], params)
+        self._check_batch(x_u8)
+        if z is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            z = jax.random.normal(rng,
+                                  (x_u8.shape[0], self.cfg.gen.style_dim))
+        return self._sh_translate_u8io(params, x_u8, z)
 
 
 def denormalize_to_uint8(img: np.ndarray) -> np.ndarray:

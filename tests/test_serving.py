@@ -48,7 +48,20 @@ def engine_setup():
     cfg = tiny_config()
     tr, params, _ = _make_translator_params(cfg)
     engine = BatchingEngine(tr, params, image_hw=(32, 32), max_batch=8,
-                            max_delay_ms=100.0)
+                            max_delay_ms=100.0, wire_format="f32")
+    engine.start()
+    yield engine, tr, params
+    engine.stop()
+
+
+@pytest.fixture(scope="module")
+def u8_engine_setup():
+    from councilx.inference.server import BatchingEngine
+
+    cfg = tiny_config()
+    tr, params, _ = _make_translator_params(cfg)
+    engine = BatchingEngine(tr, params, image_hw=(32, 32), max_batch=8,
+                            max_delay_ms=100.0)   # default wire: u8
     engine.start()
     yield engine, tr, params
     engine.stop()
@@ -143,10 +156,56 @@ class TestBatchingEngine:
 
     def test_stats_snapshot_keys(self, engine_setup):
         engine, _, _ = engine_setup
-        snap = engine.stats.snapshot()
+        snap = engine.snapshot_stats()
         for k in ("requests", "batches", "images_done", "padded_rows",
                   "mean_latency_ms", "batch_size_histogram"):
             assert k in snap
+
+
+class TestU8Wire:
+    def test_single_request_exact_vs_u8io(self, u8_engine_setup, rng):
+        """uint8-wire engine output must be bit-identical to the direct
+        translate_u8io path (device-side normalize, same formula)."""
+        engine, tr, params = u8_engine_setup
+        x = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+        z = engine.make_z(11)
+        got = engine.translate_sync(x, z=z)
+        want = tr.translate_u8io(params, x[None], z=z[None])[0]
+        np.testing.assert_array_equal(got, want)
+
+    def test_u8io_matches_f32_wire_bitwise(self, u8_engine_setup, rng):
+        """Device-side normalize must reproduce the host normalize exactly:
+        translate_u8io(u8) == translate_u8((u8 - 127.5) / 127.5)."""
+        _, tr, params = u8_engine_setup
+        x_u8 = rng.randint(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+        x_f32 = (x_u8.astype(np.float32) - 127.5) / 127.5
+        z = np.zeros((2, tr.cfg.gen.style_dim), np.float32)
+        np.testing.assert_array_equal(
+            tr.translate_u8io(params, x_u8, z=z),
+            tr.translate_u8(params, x_f32, z=z))
+
+    def test_f32_input_rejected_on_u8_wire(self, u8_engine_setup):
+        engine, _, _ = u8_engine_setup
+        with pytest.raises(ValueError, match="wire format"):
+            engine.submit(np.zeros((32, 32, 3), np.float32))
+
+    def test_nonpipelined_engine_serves(self, rng):
+        """pipeline=False (single-thread synchronous cycle) end-to-end."""
+        from councilx.inference.server import BatchingEngine
+
+        cfg = tiny_config()
+        tr, params, _ = _make_translator_params(cfg)
+        engine = BatchingEngine(tr, params, image_hw=(32, 32), max_batch=4,
+                                max_delay_ms=1.0, pipeline=False)
+        engine.start()
+        try:
+            x = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+            z = engine.make_z(3)
+            got = engine.translate_sync(x, z=z)
+            want = tr.translate_u8io(params, x[None], z=z[None])[0]
+            np.testing.assert_array_equal(got, want)
+        finally:
+            engine.stop()
 
 
 class TestShardedEngine:
@@ -165,7 +224,7 @@ class TestShardedEngine:
         engine.start()
         try:
             assert engine.buckets == [4, 8]
-            x = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+            x = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
             out = engine.translate_sync(x, seed=0)
             assert out.shape == (32, 32, 3) and out.dtype == np.uint8
             assert engine.stats.padded_rows >= 3

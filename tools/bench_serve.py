@@ -13,7 +13,7 @@ interleaving is the only honest A/B — CLAUDE.md).
 
 Env: SERVE_SIZE (256), SERVE_MAX_BATCH (64), SERVE_DELAY_MS (5),
 SERVE_CLIENTS ("1,8,32,64"), SERVE_SECONDS (12), SERVE_PIPELINE ("1,0"),
-SERVE_BF16_PARAMS (1).
+SERVE_WIRE ("u8,f32"), SERVE_BF16_PARAMS (1).
 
 One JSON line per (pipeline, clients) point.
 """
@@ -100,6 +100,7 @@ def main():
     seconds = float(os.environ.get("SERVE_SECONDS", "12"))
     pipelines = [bool(int(p)) for p in
                  os.environ.get("SERVE_PIPELINE", "1,0").split(",")]
+    wires = os.environ.get("SERVE_WIRE", "u8,f32").split(",")
     bf16_params = bool(int(os.environ.get("SERVE_BF16_PARAMS", "1")))
 
     cfg = flagship_cfg(size)
@@ -113,34 +114,46 @@ def main():
             if l.dtype == jnp.float32 else l, params)
 
     r = np.random.RandomState(0)
-    xs = [r.uniform(-1, 1, (size, size, 3)).astype(np.float32)
-          for _ in range(8)]
+    xs = {
+        "f32": [r.uniform(-1, 1, (size, size, 3)).astype(np.float32)
+                for _ in range(8)],
+    }
+    xs["u8"] = [((x + 1.0) * 127.5).astype(np.uint8) for x in xs["f32"]]
 
     engines = {}
-    for pipe in sorted(set(pipelines)):
-        e = BatchingEngine(tr, params, image_hw=(size, size),
-                           max_batch=max_batch, max_delay_ms=delay_ms,
-                           pipeline=pipe)
-        e.start()
-        engines[pipe] = e
-    # both engines share one Translator -> bucket executables compile once
+    for wire in sorted(set(wires)):
+        for pipe in sorted(set(pipelines)):
+            e = BatchingEngine(tr, params, image_hw=(size, size),
+                               max_batch=max_batch, max_delay_ms=delay_ms,
+                               pipeline=pipe, wire_format=wire)
+            e.start()
+            engines[(wire, pipe)] = e
+    # engines share one Translator -> each wire's buckets compile once
     t0 = time.perf_counter()
-    engines[sorted(engines)[0]].warmup()
-    print(f"# warmup ({len(engines[sorted(engines)[0]].buckets)} buckets): "
+    warmed = set()
+    for (wire, _), e in sorted(engines.items()):
+        if wire not in warmed:
+            e.warmup()
+            warmed.add(wire)
+    print(f"# warmup ({len(warmed)} wire formats x "
+          f"{len(next(iter(engines.values())).buckets)} buckets): "
           f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
-    # interleave pipeline variants at each client count (A/B honesty)
+    # interleave wire/pipeline variants at each client count (A/B honesty)
     for clients in clients_list:
-        for pipe in pipelines:
-            res = run_point(engines[pipe], clients, seconds, xs)
-            snap = engines[pipe].stats.snapshot()
-            print(json.dumps({
-                "metric": "serve_images_per_sec",
-                "pipeline": pipe, "clients": clients, "size": size,
-                "max_batch": max_batch, "delay_ms": delay_ms,
-                **res,
-                "batch_hist_cum": snap["batch_size_histogram"],
-            }), flush=True)
+        for wire in wires:
+            for pipe in pipelines:
+                e = engines[(wire, pipe)]
+                res = run_point(e, clients, seconds, xs[wire])
+                snap = e.snapshot_stats()
+                print(json.dumps({
+                    "metric": "serve_images_per_sec",
+                    "wire": wire, "pipeline": pipe, "clients": clients,
+                    "size": size, "max_batch": max_batch,
+                    "delay_ms": delay_ms,
+                    **res,
+                    "batch_hist_cum": snap["batch_size_histogram"],
+                }), flush=True)
     for e in engines.values():
         e.stop()
 
