@@ -249,6 +249,13 @@ class Config:
     # numerically safer of the two fast variants); forced to "f32" in
     # parity_mode and a no-op under float32 compute.
     in_precision: str = "mixed"
+    # W8A8 dynamic int8 quantization of the generator's heavy convs on the
+    # SERVING path only ("none" | "w8a8"; ops/quant.py). The v5e MXU runs
+    # int8 convs up to ~330 TOPS vs 197 TF/s bf16 (tools/bench_int8.py).
+    # Training always ignores this (the trainer never reads it); Translator
+    # honors it outside parity_mode. Param tree/checkpoints are unchanged —
+    # weights quantize in-graph.
+    quant: str = "none"
     # parity mode: fp32 everywhere + highest conv/matmul precision, for
     # pixel-exact comparison against the reference inference path.
     parity_mode: bool = False
@@ -372,6 +379,8 @@ class Config:
             raise ValueError(f"unsupported compute_dtype: {self.compute_dtype}")
         if self.in_precision not in ("f32", "mixed", "bf16"):
             raise ValueError(f"unsupported in_precision: {self.in_precision}")
+        if self.quant not in ("none", "w8a8"):
+            raise ValueError(f"unsupported quant: {self.quant}")
         if self.gen_member_chunks < 1:
             raise ValueError("gen_member_chunks must be >= 1")
         if self.council.council_size % self.gen_member_chunks:

@@ -44,6 +44,7 @@ class Translator:
             use_pallas=cfg.use_pallas and not cfg.parity_mode,
             use_pallas_norm=cfg.use_pallas_norm and not cfg.parity_mode,
             in_precision="f32" if cfg.parity_mode else cfg.in_precision,
+            quant="none" if cfg.parity_mode else cfg.quant,
             mask_activation=cfg.council.mask_activation)
         self.mask_activation = cfg.council.mask_activation
 

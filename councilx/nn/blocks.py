@@ -326,6 +326,9 @@ class Conv2dBlock(nn.Module):
     # internal precision of the in/adain norms ("f32"|"mixed"|"bf16") —
     # see apply_instance_norm; ignored (== f32) when dtype is float32
     in_precision: str = "f32"
+    # W8A8 dynamic int8 quantization of the conv (serving-only lever; see
+    # ops/quant.py). "none" | "w8a8". Parameter tree is unchanged.
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -348,7 +351,8 @@ class Conv2dBlock(nn.Module):
             y = upsample2x_conv5x5(x.astype(self.dtype),
                                    kernel.astype(self.dtype),
                                    bias, self.pad_type,
-                                   use_pallas=self.use_pallas)
+                                   use_pallas=self.use_pallas,
+                                   quant=self.quant == "w8a8")
         elif self.norm == "sn":
             x = pad2d(x, self.padding, self.pad_type)
             y = SpectralConv(
@@ -356,6 +360,16 @@ class Conv2dBlock(nn.Module):
                 kernel_size=(self.kernel_size, self.kernel_size),
                 strides=(self.stride, self.stride),
                 kernel_init=self.kernel_init, dtype=self.dtype)(x)
+        elif self.quant == "w8a8":
+            from councilx.ops.quant import conv_w8a8
+
+            x = pad2d(x, self.padding, self.pad_type)
+            kernel, bias = _ConvParams(
+                features=self.out_dim,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                kernel_init=self.kernel_init, name="Conv_0")(x.shape[-1])
+            y = conv_w8a8(x, kernel, bias, stride=self.stride,
+                          out_dtype=self.dtype)
         else:
             x = pad2d(x, self.padding, self.pad_type)
             y = None
@@ -477,6 +491,7 @@ class ResBlock(nn.Module):
     use_pallas: bool = False
     use_pallas_norm: bool = False
     in_precision: str = "f32"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -488,13 +503,15 @@ class ResBlock(nn.Module):
                         kernel_init=self.kernel_init, dtype=self.dtype,
                         use_pallas=self.use_pallas,
                         use_pallas_norm=self.use_pallas_norm,
-                        in_precision=self.in_precision)(x, p0)
+                        in_precision=self.in_precision,
+                        quant=self.quant)(x, p0)
         y = Conv2dBlock(self.dim, 3, 1, 1, norm=self.norm,
                         activation="none", pad_type=self.pad_type,
                         kernel_init=self.kernel_init, dtype=self.dtype,
                         use_pallas=self.use_pallas,
                         use_pallas_norm=self.use_pallas_norm,
-                        in_precision=self.in_precision)(y, p1)
+                        in_precision=self.in_precision,
+                        quant=self.quant)(y, p1)
         return x + y
 
 
@@ -511,6 +528,7 @@ class ResBlocks(nn.Module):
     use_pallas: bool = False
     use_pallas_norm: bool = False
     in_precision: str = "f32"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -523,7 +541,8 @@ class ResBlocks(nn.Module):
                          kernel_init=self.kernel_init, dtype=self.dtype,
                          use_pallas=self.use_pallas,
                          use_pallas_norm=self.use_pallas_norm,
-                         in_precision=self.in_precision)(x, p)
+                         in_precision=self.in_precision,
+                         quant=self.quant)(x, p)
         return x
 
 

@@ -54,6 +54,11 @@ class ContentEncoder(nn.Module):
     use_pallas: bool = False
     use_pallas_norm: bool = False
     in_precision: str = "f32"   # internal precision of the in/adain norms
+    # W8A8 int8 serving quantization (ops/quant.py) for the HEAVY convs
+    # only: the downsample convs and resblocks (all IN-normalized, where
+    # per-channel quant scales cancel exactly). The first 7x7-from-RGB conv
+    # stays in the compute dtype (tiny FLOPs, quality-critical input edge).
+    quant: str = "none"
     # stage-granular rematerialization (see Decoder.remat_stages): at 256px
     # batch>8 the encoder's (B,64,64,256) resblock internals are the other
     # half of the memory peak; per-stage checkpointing bounds the backward
@@ -86,6 +91,7 @@ class ContentEncoder(nn.Module):
                    use_pallas=self.use_pallas,
                    use_pallas_norm=self.use_pallas_norm,
                    in_precision=self.in_precision,
+                   quant=self.quant,
                    name=f"Conv2dBlock_{i + 1}")(x)
             dim *= 2
         x = RB(self.n_res, dim, norm="in", activation=self.activ,
@@ -93,6 +99,7 @@ class ContentEncoder(nn.Module):
                dtype=self.dtype, use_pallas=self.use_pallas,
                use_pallas_norm=self.use_pallas_norm,
                in_precision=self.in_precision,
+               quant=self.quant,
                name="ResBlocks_0")(x)
         return x
 
@@ -153,6 +160,11 @@ class Decoder(nn.Module):
     use_pallas: bool = False
     use_pallas_norm: bool = False
     in_precision: str = "f32"   # internal precision of the adain norms
+    # W8A8 int8 serving quantization for the heavy convs (adain resblocks +
+    # upsample convs); the final 7x7-to-RGB/mask conv stays in the compute
+    # dtype (quality-critical output edge, negligible FLOPs). See
+    # ops/quant.py for the scheme and ContentEncoder.quant for the policy.
+    quant: str = "none"
     # mask-channel activation ([VERIFY] dual, see CouncilConfig): with
     # "sigmoid" the final conv emits raw pre-activations; tanh is applied to
     # the RGB channels only, the mask channel stays a logit for the caller's
@@ -192,6 +204,7 @@ class Decoder(nn.Module):
                dtype=self.dtype, use_pallas=self.use_pallas,
                use_pallas_norm=self.use_pallas_norm,
                in_precision=self.in_precision,
+               quant=self.quant,
                name="ResBlocks_0")(x, pairs)
         idx = 0
         for _ in range(self.n_upsample):
@@ -202,6 +215,7 @@ class Decoder(nn.Module):
                    fuse_upsample=self.fuse_upsample,
                    use_pallas=self.use_pallas,
                    use_pallas_norm=self.use_pallas_norm,
+                   quant=self.quant,
                    name=f"Conv2dBlock_{idx}")(x)
             dim //= 2
             idx += 1
@@ -240,6 +254,7 @@ class AdaINGen(nn.Module):
     use_pallas: bool = False    # per-object kernel choices (no process global)
     use_pallas_norm: bool = False
     in_precision: str = "f32"   # internal precision of the in/adain norms
+    quant: str = "none"         # W8A8 serving quantization (ops/quant.py)
     mask_activation: str = "tanh_affine"  # see Decoder.mask_activation
     remat_stages: bool = False  # see Decoder.remat_stages
 
@@ -259,6 +274,7 @@ class AdaINGen(nn.Module):
             use_pallas=self.use_pallas,
             use_pallas_norm=self.use_pallas_norm,
             in_precision=self.in_precision,
+            quant=self.quant,
             remat_stages=self.remat_stages)
         self.enc_style = StyleEncoder(
             dim=self.dim, style_dim=self.style_dim,
@@ -273,6 +289,7 @@ class AdaINGen(nn.Module):
             use_pallas=self.use_pallas,
             use_pallas_norm=self.use_pallas_norm,
             in_precision=self.in_precision,
+            quant=self.quant,
             mask_activation=self.mask_activation,
             remat_stages=self.remat_stages)
         self.mlp = MLP(

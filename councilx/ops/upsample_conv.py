@@ -79,14 +79,16 @@ def _phase_kernels(kernel: jnp.ndarray) -> jnp.ndarray:
 def upsample2x_conv5x5(x: jnp.ndarray, kernel: jnp.ndarray,
                        bias: Optional[jnp.ndarray],
                        pad_type: str = "reflect",
-                       precision=None, use_pallas: bool = False
-                       ) -> jnp.ndarray:
+                       precision=None, use_pallas: bool = False,
+                       quant: bool = False) -> jnp.ndarray:
     """Fused, exact equivalent of :func:`upsample2x_conv5x5_reference`.
 
     One 3x3 conv with 4x output channels + depth-to-space for the interior,
     reference-path strips for the 2-pixel output border. With
     ``use_pallas`` the 3x3 conv runs on the Pallas kernel
-    (ops/pallas_conv.py) when the shape is eligible.
+    (ops/pallas_conv.py) when the shape is eligible. With ``quant`` the
+    interior phase conv runs W8A8 int8 on the MXU (ops/quant.py; the thin
+    border strips stay in the compute dtype — their cost is ~H*4 pixels).
     """
     b_, h, w, cin = x.shape
     cout = kernel.shape[-1]
@@ -99,7 +101,10 @@ def upsample2x_conv5x5(x: jnp.ndarray, kernel: jnp.ndarray,
     xp = pad2d(x, 1, "replicate")
     k4 = _phase_kernels(kernel).astype(x.dtype)
     y4 = None
-    if use_pallas and precision is None:
+    if quant:
+        from councilx.ops.quant import conv_w8a8
+        y4 = conv_w8a8(xp, k4, out_dtype=x.dtype)
+    if y4 is None and use_pallas and precision is None:
         from councilx.ops.pallas_conv import conv3x3_eligible, conv3x3_valid
         if conv3x3_eligible(xp.shape, k4.shape, xp.dtype.itemsize):
             y4 = conv3x3_valid(xp, k4)

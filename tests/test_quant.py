@@ -1,0 +1,157 @@
+"""W8A8 int8 serving quantization (ops/quant.py + Conv2dBlock/generator
+plumbing, round 3).
+
+Pins down:
+  * conv_w8a8's error vs the f32 conv is pure symmetric roundoff (small,
+    bounded) and the int32 accumulation is exact for integer-valued inputs
+  * per-channel weight scales cancel exactly under instance norm (the
+    quality argument for quantizing only IN/AdaIN convs)
+  * the quant Conv2dBlock branch has an IDENTICAL parameter tree to the
+    plain branch (checkpoints work unchanged)
+  * the fused upsample's quantized interior stays close to the exact path
+  * AdaINGen(quant="w8a8") runs end to end, stays finite, and its uint8
+    translation stays close to the unquantized one
+  * config validation + Translator gating (parity_mode forces quant off)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from test_train_step import tiny_config
+
+
+def f32_conv(x, k, b=None, stride=1):
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), k.astype(jnp.float32),
+        (stride, stride), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b if b is not None else y
+
+
+class TestConvW8A8:
+    def test_exact_for_integer_grids(self):
+        """Inputs/weights already on the int8 grid -> bit-exact conv (the
+        int32 MXU accumulation adds no error)."""
+        from councilx.ops.quant import conv_w8a8
+
+        r = np.random.RandomState(0)
+        x = r.randint(-127, 128, (2, 8, 8, 4)).astype(np.float32)
+        k = r.randint(-127, 128, (3, 3, 4, 4)).astype(np.float32)
+        # pin the per-image / per-out-channel maxima to exactly 127 so the
+        # dynamic scales are exactly 1.0 and quantization is lossless
+        x[:, 0, 0, 0] = 127.0
+        k[0, 0, 0, :] = 127.0
+        got = conv_w8a8(jnp.asarray(x), jnp.asarray(k),
+                        out_dtype=jnp.float32)
+        want = f32_conv(jnp.asarray(x), jnp.asarray(k))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-2)
+
+    def test_roundoff_error_bounded(self):
+        """Random f32 data: relative error of the quantized conv stays in
+        the few-percent band expected from 8-bit symmetric roundoff."""
+        from councilx.ops.quant import conv_w8a8
+
+        r = np.random.RandomState(1)
+        x = (r.randn(2, 16, 16, 32) * 0.5).astype(np.float32)
+        k = (r.randn(3, 3, 32, 32) * 0.05).astype(np.float32)
+        got = np.asarray(conv_w8a8(jnp.asarray(x), jnp.asarray(k),
+                                   out_dtype=jnp.float32))
+        want = np.asarray(f32_conv(jnp.asarray(x), jnp.asarray(k)))
+        rel = (np.linalg.norm(got - want) / np.linalg.norm(want))
+        assert rel < 0.02, f"relative error {rel:.4f}"
+
+    def test_per_channel_scale_cancels_under_instance_norm(self):
+        """Scaling output channel o of the kernel by any positive factor
+        leaves instance_norm(conv(x)) unchanged up to the eps in
+        1/sqrt(var + eps) — the reason the IN/AdaIN convs are the safe ones
+        to quantize (only roundoff survives, never the scale)."""
+        from councilx.nn.blocks import instance_norm
+
+        r = np.random.RandomState(2)
+        x = jnp.asarray((r.randn(1, 12, 12, 8) * 0.3).astype(np.float32))
+        k = jnp.asarray((r.randn(3, 3, 8, 8) * 0.1).astype(np.float32))
+        scales = jnp.asarray(r.uniform(0.25, 4.0, 8).astype(np.float32))
+        a = instance_norm(f32_conv(x, k))
+        b = instance_norm(f32_conv(x, k * scales))
+        # eps=1e-5 vs per-channel variance bounds the residual: not exact,
+        # but orders below the int8 roundoff this argument is about
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-3)
+
+    def test_strided(self):
+        from councilx.ops.quant import conv_w8a8
+
+        r = np.random.RandomState(3)
+        x = (r.randn(1, 10, 10, 8) * 0.5).astype(np.float32)
+        k = (r.randn(4, 4, 8, 16) * 0.05).astype(np.float32)
+        got = np.asarray(conv_w8a8(jnp.asarray(x), jnp.asarray(k), stride=2,
+                                   out_dtype=jnp.float32))
+        want = np.asarray(f32_conv(jnp.asarray(x), jnp.asarray(k), stride=2))
+        assert got.shape == want.shape == (1, 4, 4, 16)
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 0.03
+
+
+class TestBlockAndGenerator:
+    def test_param_tree_identical(self):
+        """quant='w8a8' must not change the parameter tree (same Conv_0
+        kernel/bias names+shapes as the nn.Conv branch)."""
+        from councilx.nn.blocks import Conv2dBlock
+
+        x = jnp.zeros((1, 8, 8, 4), jnp.float32)
+        p0 = Conv2dBlock(8, 3, 1, 1, norm="in")\
+            .init(jax.random.PRNGKey(0), x)["params"]
+        p1 = Conv2dBlock(8, 3, 1, 1, norm="in", quant="w8a8")\
+            .init(jax.random.PRNGKey(0), x)["params"]
+        assert (jax.tree_util.tree_structure(p0)
+                == jax.tree_util.tree_structure(p1))
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(p1)):
+            assert a.shape == b.shape
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fused_upsample_quant_close(self):
+        from councilx.ops.upsample_conv import (upsample2x_conv5x5,
+                                                upsample2x_conv5x5_reference)
+
+        r = np.random.RandomState(4)
+        x = jnp.asarray((r.randn(1, 8, 8, 8) * 0.4).astype(np.float32))
+        k = jnp.asarray((r.randn(5, 5, 8, 4) * 0.08).astype(np.float32))
+        b = jnp.asarray(r.randn(4).astype(np.float32) * 0.1)
+        want = np.asarray(upsample2x_conv5x5_reference(x, k, b))
+        got = np.asarray(upsample2x_conv5x5(x, k, b, quant=True))
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 0.03, f"relative error {rel:.4f}"
+
+    def test_generator_quant_translation_close(self):
+        """Full quantized generator vs the unquantized one on the serving
+        path: uint8 outputs should agree closely (random init — a weaker
+        input than trained weights, so the tolerance is loose)."""
+        from councilx.inference.translate import Translator
+
+        cfg_q = tiny_config(quant="w8a8")
+        cfg_f = tiny_config()
+        tr_q, tr_f = Translator(cfg_q), Translator(cfg_f)
+        dummy = np.zeros((1, 32, 32, 3), np.float32)
+        params = tr_f.gen.init(jax.random.PRNGKey(0), dummy)["params"]
+        r = np.random.RandomState(5)
+        x = jnp.asarray(r.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+        z = jnp.asarray(r.randn(2, cfg_f.gen.style_dim).astype(np.float32))
+        u_f = tr_f.translate_u8(params, x, z=z).astype(np.int32)
+        u_q = tr_q.translate_u8(params, x, z=z).astype(np.int32)
+        assert np.isfinite(u_q).all()
+        mad = np.abs(u_f - u_q).mean()
+        assert mad < 8.0, f"mean abs uint8 diff {mad:.2f}"
+
+    def test_parity_mode_forces_quant_off(self):
+        from councilx.inference.translate import Translator
+
+        cfg = tiny_config(quant="w8a8", parity_mode=True)
+        assert Translator(cfg).gen.quant == "none"
+
+    def test_config_rejects_unknown_quant(self):
+        with pytest.raises(ValueError, match="quant"):
+            tiny_config(quant="int4")

@@ -11,7 +11,8 @@ cost_analysis is unavailable through the runtime).
 
 Env: INFER_BATCH (64) or INFER_SWEEP="16,32,64,128" (one JSON line each),
 INFER_STEPS (20), INFER_SIZE (256), INFER_PALLAS (0), INFER_IN_PRECISION
-(f32/mixed/bf16), INFER_BF16_PARAMS (0/1: keep the weights RESIDENT in
+(f32/mixed/bf16), INFER_QUANT (none/w8a8: int8 generator convs,
+ops/quant.py), INFER_BF16_PARAMS (0/1: keep the weights RESIDENT in
 bfloat16 — halves weight-read traffic vs casting f32 params every call),
 INFER_ALL_MEMBERS (1; 0 skips the all-members call — its effective batch
 is 4x and OOMs HBM beyond ~batch 128 at 256px).
@@ -90,6 +91,7 @@ def run_one(batch, size, steps, cfg, bf16_params):
         "batch": batch, "size": size,
         "bf16_params": bool(bf16_params),
         "in_precision": cfg.in_precision,
+        "quant": cfg.quant,
         "single_member_img_s": round(ips1, 1),
         "all4_members_img_s": (round(batch * n / tn, 1)
                                if tn is not None else None),
@@ -127,6 +129,8 @@ def main():
     }
     if "INFER_IN_PRECISION" in os.environ:
         cfg_d["in_precision"] = os.environ["INFER_IN_PRECISION"]
+    if "INFER_QUANT" in os.environ:
+        cfg_d["quant"] = os.environ["INFER_QUANT"]
     cfg = Config.from_dict(cfg_d)
     for b in batches:
         run_one(b, size, steps, cfg, bf16_params)
