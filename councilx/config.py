@@ -249,9 +249,15 @@ class Config:
     # numerically safer of the two fast variants); forced to "f32" in
     # parity_mode and a no-op under float32 compute.
     in_precision: str = "mixed"
-    # W8A8 dynamic int8 quantization of the generator's heavy convs on the
-    # SERVING path only ("none" | "w8a8"; ops/quant.py). The v5e MXU runs
-    # int8 convs up to ~330 TOPS vs 197 TF/s bf16 (tools/bench_int8.py).
+    # W8A8 int8 quantization of the generator's heavy convs on the SERVING
+    # path only (ops/quant.py; tools/bench_int8.py for the MXU numbers):
+    #   "none"        — bf16 convs (default)
+    #   "w8a8"        — dynamic per-image activation scales; self-contained
+    #                   but measured 0.86x end-to-end (BASELINE.md)
+    #   "w8a8_calib"  — calibration pass: record activation absmax into the
+    #                   flax "quant_stats" collection (tools/calibrate_quant)
+    #   "w8a8_static" — consume calibrated scales; measured 1.03-1.06x over
+    #                   bf16 at serving batches (the fast mode)
     # Training always ignores this (the trainer never reads it); Translator
     # honors it outside parity_mode. Param tree/checkpoints are unchanged —
     # weights quantize in-graph.
@@ -379,7 +385,7 @@ class Config:
             raise ValueError(f"unsupported compute_dtype: {self.compute_dtype}")
         if self.in_precision not in ("f32", "mixed", "bf16"):
             raise ValueError(f"unsupported in_precision: {self.in_precision}")
-        if self.quant not in ("none", "w8a8"):
+        if self.quant not in ("none", "w8a8", "w8a8_calib", "w8a8_static"):
             raise ValueError(f"unsupported quant: {self.quant}")
         if self.gen_member_chunks < 1:
             raise ValueError("gen_member_chunks must be >= 1")

@@ -27,13 +27,28 @@ class Translator:
     pass ``member=i`` to slice one member out of a stacked tree.
     """
 
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, quant_stats=None):
         self.cfg = cfg
         g = cfg.gen
         self.focus = cfg.council.focus_enabled
         dtype = (jnp.float32 if cfg.parity_mode
                  or cfg.compute_dtype == "float32" else jnp.bfloat16)
         self.dtype = dtype
+        # calibrated activation scales for quant="w8a8_static"
+        # (tools/calibrate_quant.py). Set-at-construction only: self is the
+        # static jit arg, so the scales bake into the executable as
+        # constants — mutating them later would NOT retrace.
+        if cfg.quant == "w8a8_static" and quant_stats is None \
+                and not cfg.parity_mode:
+            raise ValueError(
+                "quant='w8a8_static' needs calibrated stats: pass "
+                "quant_stats= (from tools/calibrate_quant.py)")
+        if cfg.quant == "w8a8_calib":
+            raise ValueError(
+                "quant='w8a8_calib' is the calibration-pass mode "
+                "(mutable quant_stats); use tools/calibrate_quant.py, "
+                "then serve with quant='w8a8_static'")
+        self.quant_stats = quant_stats
         self.gen = AdaINGen(
             input_dim=cfg.data.input_dim_a, dim=g.dim, style_dim=g.style_dim,
             n_downsample=g.n_downsample, n_res=g.n_res, activ=g.activ,
@@ -48,13 +63,19 @@ class Translator:
             mask_activation=cfg.council.mask_activation)
         self.mask_activation = cfg.council.mask_activation
 
+    def _vars(self, params) -> dict:
+        """Variable collections for gen.apply (+ calibrated quant scales)."""
+        if self.quant_stats is not None and self.gen.quant == "w8a8_static":
+            return {"params": params, "quant_stats": self.quant_stats}
+        return {"params": params}
+
     @partial(jax.jit, static_argnums=0)
     def _translate(self, params, x: jnp.ndarray, z: jnp.ndarray
                    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         x = x.astype(self.dtype)
-        c = self.gen.apply({"params": params}, x,
+        c = self.gen.apply(self._vars(params), x,
                            method=AdaINGen.encode_content)
-        out = self.gen.apply({"params": params}, c, z.astype(self.dtype),
+        out = self.gen.apply(self._vars(params), c, z.astype(self.dtype),
                              method=AdaINGen.decode)
         if self.focus:
             x_t, mask = composite_with_mask(out, x, self.mask_activation)
@@ -96,7 +117,7 @@ class Translator:
 
     @partial(jax.jit, static_argnums=0)
     def _encode_style(self, params, x: jnp.ndarray) -> jnp.ndarray:
-        return self.gen.apply({"params": params}, x.astype(self.dtype),
+        return self.gen.apply(self._vars(params), x.astype(self.dtype),
                               method=AdaINGen.encode_style
                               ).astype(jnp.float32)
 
@@ -199,13 +220,13 @@ class ShardedTranslator(Translator):
     (repeat callers otherwise pay a host->device transfer per call).
     """
 
-    def __init__(self, cfg: Config, mesh):
+    def __init__(self, cfg: Config, mesh, quant_stats=None):
         from jax.sharding import NamedSharding, PartitionSpec as P
         if tuple(mesh.axis_names) != ("data",):
             raise ValueError(
                 f"ShardedTranslator takes a 1-D ('data',) mesh, got axes "
                 f"{mesh.axis_names}")
-        super().__init__(cfg)
+        super().__init__(cfg, quant_stats=quant_stats)
         self.mesh = mesh
         self._rep = NamedSharding(mesh, P())
         self._bsh = NamedSharding(mesh, P("data"))

@@ -326,9 +326,26 @@ class Conv2dBlock(nn.Module):
     # internal precision of the in/adain norms ("f32"|"mixed"|"bf16") —
     # see apply_instance_norm; ignored (== f32) when dtype is float32
     in_precision: str = "f32"
-    # W8A8 dynamic int8 quantization of the conv (serving-only lever; see
-    # ops/quant.py). "none" | "w8a8". Parameter tree is unchanged.
+    # W8A8 int8 quantization of the conv (serving-only lever; ops/quant.py).
+    # "none" | "w8a8" (dynamic per-image scales) | "w8a8_calib" (dynamic +
+    # record running activation absmax into the "quant_stats" collection —
+    # apply with mutable=["quant_stats"]) | "w8a8_static" (consume the
+    # calibrated scales; no dynamic reduce — the fast mode, BASELINE.md).
+    # Parameter tree is unchanged in every mode.
     quant: str = "none"
+
+    def _quant_a_scale(self, x: jnp.ndarray) -> Optional[jnp.ndarray]:
+        """Static-mode activation scale (None -> dynamic quantization).
+        In calib mode, also fold this call's |x| max into the running stat."""
+        if self.quant == "w8a8":
+            return None
+        stat = self.variable("quant_stats", "act_absmax",
+                             lambda: jnp.zeros((), jnp.float32))
+        if self.quant == "w8a8_calib":
+            stat.value = jnp.maximum(
+                stat.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            return None
+        return stat.value / 127.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -337,6 +354,7 @@ class Conv2dBlock(nn.Module):
         fused = (self.upsample2x and self.fuse_upsample
                  and self.norm != "sn" and self.kernel_size == 5
                  and self.stride == 1 and self.padding == 2)
+        quanted = self.quant in ("w8a8", "w8a8_calib", "w8a8_static")
         if self.upsample2x and not fused:
             x = upsample_nearest_2x(x)
 
@@ -348,11 +366,14 @@ class Conv2dBlock(nn.Module):
             kernel, bias = _ConvParams(
                 features=self.out_dim, kernel_size=(5, 5),
                 kernel_init=self.kernel_init, name="Conv_0")(x.shape[-1])
+            # pad2d only replicates/reflects values, so max|pad(x)| ==
+            # max|x|: the block-input scale is exact for the padded conv
+            a_scale = self._quant_a_scale(x) if quanted else None
             y = upsample2x_conv5x5(x.astype(self.dtype),
                                    kernel.astype(self.dtype),
                                    bias, self.pad_type,
                                    use_pallas=self.use_pallas,
-                                   quant=self.quant == "w8a8")
+                                   quant=quanted, a_scale=a_scale)
         elif self.norm == "sn":
             x = pad2d(x, self.padding, self.pad_type)
             y = SpectralConv(
@@ -360,16 +381,17 @@ class Conv2dBlock(nn.Module):
                 kernel_size=(self.kernel_size, self.kernel_size),
                 strides=(self.stride, self.stride),
                 kernel_init=self.kernel_init, dtype=self.dtype)(x)
-        elif self.quant == "w8a8":
+        elif quanted:
             from councilx.ops.quant import conv_w8a8
 
+            a_scale = self._quant_a_scale(x)
             x = pad2d(x, self.padding, self.pad_type)
             kernel, bias = _ConvParams(
                 features=self.out_dim,
                 kernel_size=(self.kernel_size, self.kernel_size),
                 kernel_init=self.kernel_init, name="Conv_0")(x.shape[-1])
             y = conv_w8a8(x, kernel, bias, stride=self.stride,
-                          out_dtype=self.dtype)
+                          out_dtype=self.dtype, a_scale=a_scale)
         else:
             x = pad2d(x, self.padding, self.pad_type)
             y = None

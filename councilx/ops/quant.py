@@ -13,10 +13,15 @@ Scheme (standard dynamic PTQ, TPU-shaped):
   params. The param tree, checkpoints and converters are untouched; the
   round+cast folds into the serving executable and costs one VPU pass over
   25.9 MB of weights per batch (amortized over the whole batch).
-* **Activations**: per-image symmetric int8 — ``a_s[b] = max|x[b]| / 127``
-  computed dynamically (one reduction, fused by XLA into the producer).
-  Per-image (not per-tensor) so one outlier sample cannot crush the
-  resolution of the rest of the batch.
+* **Activations**: symmetric int8, two variants:
+  - dynamic (``quant=w8a8``): per-image ``a_s[b] = max|x[b]| / 127``
+    computed in-graph. Self-contained, but measured 0.86x end-to-end —
+    the per-conv max-reduces break XLA's conv+IN fusion.
+  - static (``quant=w8a8_static``): per-tensor scales CALIBRATED offline
+    (``quant=w8a8_calib`` records running absmax into a flax
+    ``quant_stats`` collection; tools/calibrate_quant.py drives it) and
+    baked into the serving executable as constants. No dynamic reduce —
+    measured 1.03-1.06x over bf16 (BASELINE.md).
 * **Accumulation**: exact int32 on the MXU, then one fused
   ``acc * (a_s * w_s)`` rescale back to the compute dtype.
 
@@ -57,18 +62,35 @@ def quantize_act_per_image(x: jnp.ndarray):
     return q, a_s
 
 
+def quantize_act_static(x: jnp.ndarray, a_scale: jnp.ndarray):
+    """Quantize with a precomputed (calibrated) per-tensor scale — no
+    dynamic reduce. Measured (BASELINE.md): removing the per-conv dynamic
+    max-reduce is what flips W8A8 serving from 0.86x to 1.03-1.06x vs
+    bf16."""
+    a_s = jnp.maximum(a_scale.astype(jnp.float32), 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_s),
+                 -127, 127).astype(jnp.int8)
+    return q, a_s
+
+
 def conv_w8a8(x: jnp.ndarray, kernel: jnp.ndarray,
               bias: Optional[jnp.ndarray] = None,
               stride: int = 1,
-              out_dtype: jnp.dtype = jnp.bfloat16) -> jnp.ndarray:
-    """Quantized VALID conv: dynamic per-image activation quant + per-channel
-    weight quant + int8 MXU conv + fused rescale.
+              out_dtype: jnp.dtype = jnp.bfloat16,
+              a_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Quantized VALID conv: activation quant (dynamic per-image, or static
+    per-tensor when a calibrated ``a_scale`` is given) + per-channel weight
+    quant + int8 MXU conv + fused rescale.
 
     ``x`` must already be padded (Conv2dBlock pads before dispatch, same as
     its other conv branches). Exact int32 accumulation; the only error vs
-    the f32 conv is the two symmetric-roundoff terms.
+    the f32 conv is the two symmetric-roundoff terms (plus clipping when a
+    static scale under-covers an outlier).
     """
-    q, a_s = quantize_act_per_image(x)
+    if a_scale is not None:
+        q, a_s = quantize_act_static(x, a_scale)
+    else:
+        q, a_s = quantize_act_per_image(x)
     k8, w_s = quantize_kernel_per_channel(kernel)
     acc = jax.lax.conv_general_dilated(
         q, k8, window_strides=(stride, stride), padding="VALID",

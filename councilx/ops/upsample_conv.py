@@ -80,7 +80,8 @@ def upsample2x_conv5x5(x: jnp.ndarray, kernel: jnp.ndarray,
                        bias: Optional[jnp.ndarray],
                        pad_type: str = "reflect",
                        precision=None, use_pallas: bool = False,
-                       quant: bool = False) -> jnp.ndarray:
+                       quant: bool = False,
+                       a_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Fused, exact equivalent of :func:`upsample2x_conv5x5_reference`.
 
     One 3x3 conv with 4x output channels + depth-to-space for the interior,
@@ -103,7 +104,7 @@ def upsample2x_conv5x5(x: jnp.ndarray, kernel: jnp.ndarray,
     y4 = None
     if quant:
         from councilx.ops.quant import conv_w8a8
-        y4 = conv_w8a8(xp, k4, out_dtype=x.dtype)
+        y4 = conv_w8a8(xp, k4, out_dtype=x.dtype, a_scale=a_scale)
     if y4 is None and use_pallas and precision is None:
         from councilx.ops.pallas_conv import conv3x3_eligible, conv3x3_valid
         if conv3x3_eligible(xp.shape, k4.shape, xp.dtype.itemsize):

@@ -54,17 +54,22 @@ def preprocess_bytes(data: bytes, new_size: int, crop: int):
 
 def build_engine(cfg, checkpoint: str, member: int, direction: str,
                  max_batch: int, max_delay_ms: float, data_parallel: int,
-                 warmup: bool = True):
+                 warmup: bool = True, calibration: str = None):
     import jax
     from councilx.inference.server import BatchingEngine
     from councilx.inference.translate import ShardedTranslator, Translator
     from test_on_folder import load_generator_params
 
+    quant_stats = None
+    if calibration:
+        from councilx.ckpt.manager import load_params_npz
+        quant_stats = load_params_npz(calibration)
     if data_parallel > 1:
         from councilx.parallel.mesh import make_mesh
-        translator = ShardedTranslator(cfg, make_mesh(data_parallel))
+        translator = ShardedTranslator(cfg, make_mesh(data_parallel),
+                                       quant_stats=quant_stats)
     else:
-        translator = Translator(cfg)
+        translator = Translator(cfg, quant_stats=quant_stats)
     stacked = load_generator_params(checkpoint, cfg, direction)
     params = jax.tree_util.tree_map(lambda l: l[member], stacked)
     crop = cfg.data.crop_image_height
@@ -159,9 +164,14 @@ def main():
     p.add_argument("--data_parallel", type=int, default=0,
                    help="shard serving batches over this many devices")
     p.add_argument("--no_warmup", action="store_true")
-    p.add_argument("--quant", default=None, choices=["none", "w8a8"],
-                   help="override cfg.quant: W8A8 int8 generator convs "
-                        "(~1.4x MXU at serving batches, tools/bench_int8.py)")
+    p.add_argument("--quant", default=None,
+                   choices=["none", "w8a8", "w8a8_static"],
+                   help="override cfg.quant: W8A8 int8 generator convs. "
+                        "w8a8_static (+--calibration) is the fast mode "
+                        "(1.03-1.06x over bf16, BASELINE.md)")
+    p.add_argument("--calibration", default=None,
+                   help="quant_stats .npz from tools/calibrate_quant.py "
+                        "(required for --quant w8a8_static)")
     args = p.parse_args()
 
     cfg = load_config(args.config)
@@ -169,7 +179,8 @@ def main():
         cfg.quant = args.quant
     engine = build_engine(cfg, args.checkpoint, args.member, args.direction,
                           args.max_batch, args.max_delay_ms,
-                          args.data_parallel, warmup=not args.no_warmup)
+                          args.data_parallel, warmup=not args.no_warmup,
+                          calibration=args.calibration)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(engine, cfg))
     print(f"serving member {args.member} on http://localhost:{args.port} "

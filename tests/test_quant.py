@@ -155,3 +155,91 @@ class TestBlockAndGenerator:
     def test_config_rejects_unknown_quant(self):
         with pytest.raises(ValueError, match="quant"):
             tiny_config(quant="int4")
+
+
+class TestStaticQuant:
+    """w8a8_calib records activation absmax into the quant_stats
+    collection; w8a8_static consumes the calibrated scales (the fast mode —
+    no dynamic reduces; BASELINE.md 1.03-1.06x)."""
+
+    @pytest.fixture(scope="class")
+    def calibrated(self):
+        from councilx.inference.translate import Translator
+        from councilx.nn.generator import AdaINGen
+
+        cfg = tiny_config()
+        tr = Translator(cfg)
+        dummy = np.zeros((1, 32, 32, 3), np.float32)
+        params = tr.gen.init(jax.random.PRNGKey(0), dummy)["params"]
+        gen_c = tr.gen.copy(quant="w8a8_calib")
+        stats = gen_c.init(jax.random.PRNGKey(0), dummy)["quant_stats"]
+        r = np.random.RandomState(7)
+        x = jnp.asarray(r.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32))
+        z = jnp.asarray(r.randn(4, cfg.gen.style_dim).astype(np.float32))
+        for _ in range(2):
+            c, upd = gen_c.apply({"params": params, "quant_stats": stats},
+                                 x, method=AdaINGen.encode_content,
+                                 mutable=["quant_stats"])
+            stats = upd["quant_stats"]
+            _, upd = gen_c.apply({"params": params, "quant_stats": stats},
+                                 c, z, method=AdaINGen.decode,
+                                 mutable=["quant_stats"])
+            stats = upd["quant_stats"]
+        return cfg, params, stats, x, z
+
+    def test_calibration_fills_positive_stats(self, calibrated):
+        _, _, stats, _, _ = calibrated
+        leaves = jax.tree_util.tree_leaves(stats)
+        assert leaves, "no quantized convs recorded stats"
+        assert all(float(l) > 0.0 for l in leaves)
+
+    def test_static_close_to_dynamic(self, calibrated):
+        from councilx.inference.translate import Translator
+
+        cfg, params, stats, x, z = calibrated
+        tr_d = Translator(tiny_config(quant="w8a8"))
+        tr_s = Translator(tiny_config(quant="w8a8_static"),
+                          quant_stats=stats)
+        u_d = tr_d.translate_u8(params, x, z=z).astype(np.int32)
+        u_s = tr_s.translate_u8(params, x, z=z).astype(np.int32)
+        # same int8 convs, only the activation scale granularity differs
+        # (per-image dynamic vs calibrated per-tensor)
+        mad = np.abs(u_d - u_s).mean()
+        assert mad < 6.0, f"mean abs uint8 diff {mad:.2f}"
+
+    def test_static_close_to_bf16(self, calibrated):
+        from councilx.inference.translate import Translator
+
+        cfg, params, stats, x, z = calibrated
+        tr_f = Translator(tiny_config())
+        tr_s = Translator(tiny_config(quant="w8a8_static"),
+                          quant_stats=stats)
+        u_f = tr_f.translate_u8(params, x, z=z).astype(np.int32)
+        u_s = tr_s.translate_u8(params, x, z=z).astype(np.int32)
+        mad = np.abs(u_f - u_s).mean()
+        assert mad < 8.0, f"mean abs uint8 diff {mad:.2f}"
+
+    def test_static_requires_stats(self):
+        from councilx.inference.translate import Translator
+
+        with pytest.raises(ValueError, match="calibrated stats"):
+            Translator(tiny_config(quant="w8a8_static"))
+
+    def test_calib_mode_rejected_by_translator(self):
+        from councilx.inference.translate import Translator
+
+        with pytest.raises(ValueError, match="calibration-pass"):
+            Translator(tiny_config(quant="w8a8_calib"))
+
+    def test_stats_roundtrip_npz(self, calibrated, tmp_path):
+        from councilx.ckpt.manager import load_params_npz, save_params_npz
+
+        _, _, stats, _, _ = calibrated
+        path = str(tmp_path / "qs.npz")
+        save_params_npz(path, stats)
+        loaded = load_params_npz(path)
+        assert (jax.tree_util.tree_structure(jax.device_get(stats))
+                == jax.tree_util.tree_structure(loaded))
+        for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(stats)),
+                        jax.tree_util.tree_leaves(loaded)):
+            np.testing.assert_allclose(a, b)
