@@ -226,6 +226,21 @@ class BatchingEngine:
                        seed: int = 0, timeout: float = 120.0) -> np.ndarray:
         return self.submit(x, z=z, seed=seed).result(timeout=timeout)
 
+    def encode_style(self, x: np.ndarray) -> np.ndarray:
+        """Style code of one example image (H,W,3) — uint8 [0,255] or
+        float32 [-1,1]. Style-guided serving: feed the returned vector back
+        as ``submit(..., z=...)`` to translate every request in this
+        image's style (the --style_image capability of the CLI, SURVEY
+        §3.4). A direct (unbatched) translator dispatch: style encoding is
+        an infrequent setup call, not the serving hot path."""
+        import jax.numpy as jnp
+
+        x = np.asarray(x)
+        if x.dtype == np.uint8:
+            x = (x.astype(np.float32) - 127.5) / 127.5
+        z = self.translator.encode_style(self.params, jnp.asarray(x[None]))
+        return np.asarray(z)[0]
+
     # -- worker -------------------------------------------------------------
 
     def _collect(self) -> List[_Request]:

@@ -12,7 +12,13 @@ into padded static-shape batches (power-of-two bucket ladder, all compiled
 at startup), run through the on-device uint8 translate path, and returned
 as JPEG. Endpoints:
 
-    POST /translate[?seed=N][&quality=Q]   image bytes in, JPEG out
+    POST /translate[?seed=N][&quality=Q][&z=f1,f2,...]
+                                           image bytes in, JPEG out; z is
+                                           an explicit style code (from
+                                           /encode_style) — style-guided
+                                           serving, the CLI --style_image
+    POST /encode_style                     style image bytes in, its style
+                                           code out as JSON {"z": [...]}
     GET  /healthz                          liveness + config summary
     GET  /stats                            batching/latency counters
 """
@@ -114,7 +120,7 @@ def make_handler(engine, cfg):
 
         def do_POST(self):
             parsed = urllib.parse.urlparse(self.path)
-            if parsed.path != "/translate":
+            if parsed.path not in ("/translate", "/encode_style"):
                 self._json({"error": "not found"}, 404)
                 return
             q = urllib.parse.parse_qs(parsed.query)
@@ -130,8 +136,31 @@ def make_handler(engine, cfg):
             except Exception as e:
                 self._json({"error": f"bad image: {e}"}, 400)
                 return
+            if parsed.path == "/encode_style":
+                # style-guided serving step 1: image -> style code; pass it
+                # back as /translate?z=f1,f2,... (the CLI's --style_image)
+                try:
+                    zv = engine.encode_style(x)
+                except Exception as e:
+                    self._json({"error": f"encode failed: {e}"}, 500)
+                    return
+                self._json({"z": [float(v) for v in zv]})
+                return
+            z = None
+            if "z" in q:
+                try:
+                    z = np.asarray([float(v) for v in
+                                    q["z"][0].split(",")], np.float32)
+                except ValueError:
+                    self._json({"error": "z must be comma-separated "
+                                         "floats"}, 400)
+                    return
+                if z.shape != (engine.style_dim,):
+                    self._json({"error": f"z needs {engine.style_dim} "
+                                         f"values, got {z.size}"}, 400)
+                    return
             try:
-                out = engine.translate_sync(x, seed=seed)
+                out = engine.translate_sync(x, z=z, seed=seed)
             except Exception as e:
                 self._json({"error": f"translate failed: {e}"}, 500)
                 return

@@ -383,3 +383,29 @@ class TestServeHTTP:
         snap = json.loads(body)
         assert status == 200
         assert snap["requests"] >= 1 and snap["batches"] >= 1
+
+    def test_style_guided_translate(self, serve_server):
+        """/encode_style -> z vector -> /translate?z=... (the CLI's
+        --style_image as a serving flow); explicit z is deterministic."""
+        status, _, body = _post(serve_server, "/encode_style", _jpeg_bytes())
+        assert status == 200
+        z = json.loads(body)["z"]
+        assert len(z) == 3 and all(np.isfinite(v) for v in z)
+        zq = ",".join(f"{v:.6f}" for v in z)
+        raw = _jpeg_bytes()
+        s1, ctype, a = _post(serve_server, f"/translate?z={zq}", raw)
+        s2, _, b = _post(serve_server, f"/translate?z={zq}", raw)
+        assert s1 == s2 == 200 and ctype == "image/jpeg"
+        assert a == b
+        # a different style must change the output
+        z2 = ",".join(f"{v + 1.5:.6f}" for v in z)
+        _, _, c = _post(serve_server, f"/translate?z={z2}", raw)
+        assert c != a
+
+    def test_translate_bad_z_400(self, serve_server):
+        status, _, body = _post(serve_server, "/translate?z=1.0,nope",
+                                _jpeg_bytes())
+        assert status == 400 and b"comma-separated" in body
+        status, _, body = _post(serve_server, "/translate?z=1.0,2.0",
+                                _jpeg_bytes())
+        assert status == 400 and b"needs 3" in body
