@@ -231,6 +231,24 @@ class TestStaticQuant:
         with pytest.raises(ValueError, match="calibration-pass"):
             Translator(tiny_config(quant="w8a8_calib"))
 
+    def test_sharded_translator_static_quant(self, calibrated):
+        """Static quant under the data-parallel serving mesh: the scales
+        bake into the GSPMD executable; output matches the single-device
+        static path exactly (same program, replicated params)."""
+        from jax.sharding import Mesh
+        from councilx.inference.translate import ShardedTranslator, Translator
+
+        cfg, params, stats, x, z = calibrated
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+        tr_m = ShardedTranslator(tiny_config(quant="w8a8_static"), mesh,
+                                 quant_stats=stats)
+        tr_s = Translator(tiny_config(quant="w8a8_static"),
+                          quant_stats=stats)
+        p_m = tr_m.place_params(params)
+        u_m = tr_m.translate_u8(p_m, x, z=z)
+        u_s = tr_s.translate_u8(params, x, z=z)
+        np.testing.assert_array_equal(u_m, u_s)
+
     def test_stats_roundtrip_npz(self, calibrated, tmp_path):
         from councilx.ckpt.manager import load_params_npz, save_params_npz
 
