@@ -100,9 +100,8 @@ class BatchingEngine:
         The jitted translate stack. For a ShardedTranslator the bucket
         ladder is forced to multiples of the mesh's data-axis size.
     params
-        One member's generator params (slice with ``member=`` at load time
-        — serving runs one member; the interactive GUI is the multi-member
-        surface).
+        One member's generator params (slice with ``member=`` at load
+        time), or the full stacked (N, ...) tree with ``all_members=True``.
     image_hw : (int, int)
         The fixed serving resolution (requests are validated against it;
         static shapes are what make the bucket ladder finite).
@@ -112,16 +111,33 @@ class BatchingEngine:
         "u8" (default): requests are uint8 (H,W,3) in [0,255], normalized
         on device — 4x less host->device traffic. "f32": requests are
         float32 in [-1,1] (the CLI convention).
+    all_members : bool
+        Council-ensemble mode: ``params`` is the STACKED (N, ...) tree and
+        every request resolves to all N members' translations of its image
+        under one shared style draw — shape (N, H, W, 3) uint8. One vmapped
+        device call per batch (effective batch N x bucket; at 256px this
+        OOMs beyond bucket ~128 — size max_batch accordingly, BASELINE.md).
+        Not supported with a ShardedTranslator (the vmapped member axis
+        does not GSPMD-partition; see CLAUDE.md).
     """
 
     def __init__(self, translator, params, image_hw, max_batch: int = 64,
                  max_delay_ms: float = 5.0, pipeline: bool = True,
-                 wire_format: str = "u8"):
+                 wire_format: str = "u8", all_members: bool = False):
         if wire_format not in ("u8", "f32"):
             raise ValueError(f"wire_format must be 'u8' or 'f32', "
                              f"got {wire_format!r}")
         self.wire_format = wire_format
         self._wire_dtype = np.uint8 if wire_format == "u8" else np.float32
+        self.all_members = all_members
+        if all_members:
+            import jax as _jax
+            if getattr(translator, "mesh", None) is not None:
+                raise ValueError("all_members serving is single-device "
+                                 "(the member axis cannot shard)")
+            self.n_members = _jax.tree_util.tree_leaves(params)[0].shape[0]
+        else:
+            self.n_members = 1
         self.translator = translator
         self.style_dim = translator.cfg.gen.style_dim
         self.image_hw = tuple(image_hw)
@@ -235,6 +251,13 @@ class BatchingEngine:
         an infrequent setup call, not the serving hot path."""
         import jax.numpy as jnp
 
+        if self.all_members:
+            # style codes are per-member (each member has its own
+            # StyleEncoder); the ensemble engine shares one PRIOR draw
+            # across members — use a single-member server to style-guide
+            raise ValueError("encode_style is per-member; run a "
+                             "single-member server for style-guided "
+                             "serving")
         x = np.asarray(x)
         if x.dtype == np.uint8:
             x = (x.astype(np.float32) - 127.5) / 127.5
@@ -295,6 +318,11 @@ class BatchingEngine:
                 r.future.set_exception(e)
 
     def _device_call(self, x: np.ndarray, z: np.ndarray):
+        if self.all_members:
+            if self.wire_format == "u8":
+                return self.translator.translate_all_u8io_device(
+                    self.params, x, z)
+            return self.translator.translate_all_u8_device(self.params, x, z)
         if self.wire_format == "u8":
             return self.translator.translate_u8io_device(self.params, x, z=z)
         return self.translator.translate_u8_device(self.params, x, z=z)
@@ -332,4 +360,5 @@ class BatchingEngine:
             for r in batch:
                 st.total_latency_s += now - r.t_submit
         for i, r in enumerate(batch):
-            r.future.set_result(out[i])
+            # all-members batches come back (N, bucket, H, W, 3)
+            r.future.set_result(out[:, i] if self.all_members else out[i])

@@ -116,6 +116,29 @@ class Translator:
         return self._translate_u8.__wrapped__(self, params, x, z)
 
     @partial(jax.jit, static_argnums=0)
+    def _translate_all_u8(self, stacked_params, x: jnp.ndarray,
+                          z: jnp.ndarray) -> jnp.ndarray:
+        """Council-ensemble serving: x (B,...) and ONE z (B,S) shared by
+        every member -> (N,B,H,W,3) uint8 — all members translate the same
+        inputs under the same style draw in one vmapped device call, so a
+        client can compare/pick (the council's whole point; GUI parity)."""
+        return jax.vmap(lambda p: self._translate_u8.__wrapped__(
+            self, p, x, z))(stacked_params)
+
+    @partial(jax.jit, static_argnums=0)
+    def _translate_all_u8io(self, stacked_params, x_u8: jnp.ndarray,
+                            z: jnp.ndarray) -> jnp.ndarray:
+        """uint8-wire variant of _translate_all_u8 (see _translate_u8io)."""
+        x = (x_u8.astype(jnp.float32) - 127.5) / 127.5
+        return self._translate_all_u8.__wrapped__(self, stacked_params, x, z)
+
+    def translate_all_u8_device(self, stacked_params, x, z):
+        return self._translate_all_u8(stacked_params, x, z)
+
+    def translate_all_u8io_device(self, stacked_params, x_u8, z):
+        return self._translate_all_u8io(stacked_params, x_u8, z)
+
+    @partial(jax.jit, static_argnums=0)
     def _encode_style(self, params, x: jnp.ndarray) -> jnp.ndarray:
         return self.gen.apply(self._vars(params), x.astype(self.dtype),
                               method=AdaINGen.encode_style

@@ -58,7 +58,7 @@ def preprocess_bytes(data: bytes, new_size: int, crop: int):
     return np.asarray(img, dtype=np.uint8)
 
 
-def build_engine(cfg, checkpoint: str, member: int, direction: str,
+def build_engine(cfg, checkpoint: str, member, direction: str,
                  max_batch: int, max_delay_ms: float, data_parallel: int,
                  warmup: bool = True, calibration: str = None):
     import jax
@@ -70,17 +70,23 @@ def build_engine(cfg, checkpoint: str, member: int, direction: str,
     if calibration:
         from councilx.ckpt.manager import load_params_npz
         quant_stats = load_params_npz(calibration)
+    all_members = member == "all"
     if data_parallel > 1:
+        if all_members:
+            raise SystemExit("--member all is single-device "
+                             "(drop --data_parallel)")
         from councilx.parallel.mesh import make_mesh
         translator = ShardedTranslator(cfg, make_mesh(data_parallel),
                                        quant_stats=quant_stats)
     else:
         translator = Translator(cfg, quant_stats=quant_stats)
     stacked = load_generator_params(checkpoint, cfg, direction)
-    params = jax.tree_util.tree_map(lambda l: l[member], stacked)
+    params = (stacked if all_members else
+              jax.tree_util.tree_map(lambda l: l[int(member)], stacked))
     crop = cfg.data.crop_image_height
     engine = BatchingEngine(translator, params, image_hw=(crop, crop),
-                            max_batch=max_batch, max_delay_ms=max_delay_ms)
+                            max_batch=max_batch, max_delay_ms=max_delay_ms,
+                            all_members=all_members)
     engine.start()
     if warmup:
         engine.warmup()
@@ -112,6 +118,7 @@ def make_handler(engine, cfg):
                 self._json({"ok": True, "serving_hw": list(engine.image_hw),
                             "buckets": engine.buckets,
                             "wire_format": engine.wire_format,
+                            "members": engine.n_members,
                             "max_delay_ms": engine.max_delay_s * 1e3})
             elif path == "/stats":
                 self._json(engine.snapshot_stats())
@@ -164,13 +171,16 @@ def make_handler(engine, cfg):
             except Exception as e:
                 self._json({"error": f"translate failed: {e}"}, 500)
                 return
+            out = np.asarray(out)
+            if engine.all_members:      # (N,H,W,3) -> horizontal strip
+                out = np.concatenate(list(out), axis=1)
             buf = io.BytesIO()
-            Image.fromarray(np.asarray(out)).save(buf, format="JPEG",
-                                                  quality=quality)
+            Image.fromarray(out).save(buf, format="JPEG", quality=quality)
             body = buf.getvalue()
             self.send_response(200)
             self.send_header("Content-Type", "image/jpeg")
             self.send_header("Content-Length", str(len(body)))
+            self.send_header("X-Members", str(engine.n_members))
             self.end_headers()
             self.wfile.write(body)
 
@@ -185,7 +195,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
     p.add_argument("--checkpoint", required=True)
-    p.add_argument("--member", type=int, default=0)
+    p.add_argument("--member", default="0",
+                   help="member index, or 'all' for council-ensemble "
+                        "serving (every member's translation per request, "
+                        "returned as a horizontal JPEG strip)")
     p.add_argument("--direction", default="a2b", choices=["a2b", "b2a"])
     p.add_argument("--port", type=int, default=8766)
     p.add_argument("--max_batch", type=int, default=64)

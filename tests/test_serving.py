@@ -208,6 +208,62 @@ class TestU8Wire:
             engine.stop()
 
 
+class TestAllMembersEngine:
+    def test_ensemble_serving_exact(self, rng):
+        """all_members=True resolves each request to every member's
+        translation (N,H,W,3), bit-identical to the direct vmapped call."""
+        from councilx.inference.server import BatchingEngine
+
+        cfg = tiny_config()
+        tr, _, stacked = _make_translator_params(cfg)
+        engine = BatchingEngine(tr, stacked, image_hw=(32, 32), max_batch=4,
+                                max_delay_ms=1.0, all_members=True)
+        engine.start()
+        try:
+            assert engine.n_members == 2
+            x = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+            z = engine.make_z(5)
+            got = engine.translate_sync(x, z=z)
+            assert got.shape == (2, 32, 32, 3) and got.dtype == np.uint8
+            want = np.asarray(tr.translate_all_u8io_device(
+                stacked, x[None], z[None]))[:, 0]
+            np.testing.assert_array_equal(got, want)
+            with pytest.raises(ValueError, match="per-member"):
+                engine.encode_style(x)
+        finally:
+            engine.stop()
+
+    def test_ensemble_members_differ(self, rng):
+        """Distinct members produce distinct translations of one input
+        (they are independently initialized)."""
+        from councilx.inference.server import BatchingEngine
+
+        cfg = tiny_config()
+        tr, _, stacked = _make_translator_params(cfg)
+        engine = BatchingEngine(tr, stacked, image_hw=(32, 32), max_batch=2,
+                                max_delay_ms=1.0, all_members=True)
+        engine.start()
+        try:
+            x = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+            out = engine.translate_sync(x, seed=1)
+            assert not np.array_equal(out[0], out[1])
+        finally:
+            engine.stop()
+
+    def test_all_members_rejects_mesh(self, rng):
+        from jax.sharding import Mesh
+        from councilx.inference.server import BatchingEngine
+        from councilx.inference.translate import ShardedTranslator
+
+        cfg = tiny_config()
+        _, _, stacked = _make_translator_params(cfg)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+        tr = ShardedTranslator(cfg, mesh)
+        with pytest.raises(ValueError, match="single-device"):
+            BatchingEngine(tr, stacked, image_hw=(32, 32), max_batch=4,
+                           all_members=True)
+
+
 class TestShardedEngine:
     def test_mesh_bucket_ladder_and_serve(self, rng):
         """Engine over a 4-device data mesh: buckets are multiples of 4 and
