@@ -38,13 +38,15 @@ def list_images(root: str) -> List[str]:
     return sorted(paths)
 
 
-def _load_resize_crop(path: str, new_size: int, crop: Optional[int] = None
+def resize_crop_image(img, new_size: int, crop: Optional[int] = None
                       ) -> np.ndarray:
-    """PIL decode -> shorter-side resize (bilinear, torchvision.Resize
-    semantics) -> center crop -> HWC uint8."""
+    """Opened PIL image -> shorter-side resize (bilinear,
+    torchvision.Resize semantics) -> center crop -> HWC uint8. The ONE
+    implementation of the CLI/server preprocessing (serve.py uses it on
+    request bytes; the datasets on paths)."""
     from PIL import Image
 
-    img = Image.open(path).convert("RGB")
+    img = img.convert("RGB")
     w, h = img.size
     if min(w, h) != new_size:
         if w <= h:
@@ -58,6 +60,14 @@ def _load_resize_crop(path: str, new_size: int, crop: Optional[int] = None
     top = (h - c) // 2
     img = img.crop((left, top, left + c, top + c))
     return np.asarray(img, dtype=np.uint8)
+
+
+def _load_resize_crop(path: str, new_size: int, crop: Optional[int] = None
+                      ) -> np.ndarray:
+    """PIL decode from a path, then :func:`resize_crop_image`."""
+    from PIL import Image
+
+    return resize_crop_image(Image.open(path), new_size, crop)
 
 
 class ImageFolderDataset:

@@ -190,6 +190,15 @@ class BatchingEngine:
         if self._reader is not None:
             self._reader.join(timeout=60)      # sentinel sent by dispatcher
             self._reader = None
+        # fail any request that raced stop() into the queue behind the
+        # sentinel — its future would otherwise never resolve
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None and not req.future.done():
+                req.future.set_exception(RuntimeError("engine stopped"))
 
     def snapshot_stats(self) -> dict:
         with self._stats_lock:
@@ -231,6 +240,11 @@ class BatchingEngine:
                 "this engine's wire format is uint8 [0,255]; got dtype "
                 f"{x.dtype} (pass raw uint8 pixels, or build the engine "
                 "with wire_format='f32')")
+        if self.wire_format == "f32" and x.dtype == np.uint8:
+            raise ValueError(
+                "this engine's wire format is float32 [-1,1]; got uint8 "
+                "(normalize host-side, or build the engine with "
+                "wire_format='u8')")
         if z is None:
             z = self.make_z(seed)
         req = _Request(x.astype(self._wire_dtype, copy=False),
@@ -360,5 +374,10 @@ class BatchingEngine:
             for r in batch:
                 st.total_latency_s += now - r.t_submit
         for i, r in enumerate(batch):
-            # all-members batches come back (N, bucket, H, W, 3)
-            r.future.set_result(out[:, i] if self.all_members else out[i])
+            # all-members batches come back (N, bucket, H, W, 3); guard:
+            # a client may have cancelled its pending future, and an
+            # unguarded set_result would raise InvalidStateError and kill
+            # this worker thread (wedging the engine)
+            if not r.future.done():
+                r.future.set_result(out[:, i] if self.all_members
+                                    else out[i])

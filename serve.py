@@ -37,25 +37,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def preprocess_bytes(data: bytes, new_size: int, crop: int):
     """Image bytes -> (crop, crop, 3) uint8 — the exact CLI preprocessing
-    (shorter-side bilinear resize + center crop, PIL path). Pixels stay
-    uint8: the engine's wire format ships them raw and the device applies
-    the same (x - 127.5) / 127.5 normalize the CLI uses (4x less H2D than
-    normalizing host-side)."""
-    import numpy as np
+    (councilx.data.dataset.resize_crop_image: shorter-side bilinear resize
+    + center crop, PIL path). Pixels stay uint8: the engine's wire format
+    ships them raw and the device applies the same (x - 127.5) / 127.5
+    normalize the CLI uses (4x less H2D than normalizing host-side)."""
     from PIL import Image
 
-    img = Image.open(io.BytesIO(data)).convert("RGB")
-    w, h = img.size
-    if min(w, h) != new_size:
-        if w <= h:
-            nw, nh = new_size, max(1, round(h * new_size / w))
-        else:
-            nw, nh = max(1, round(w * new_size / h)), new_size
-        img = img.resize((nw, nh), Image.BILINEAR)
-    w, h = img.size
-    left, top = (w - crop) // 2, (h - crop) // 2
-    img = img.crop((left, top, left + crop, top + crop))
-    return np.asarray(img, dtype=np.uint8)
+    from councilx.data.dataset import resize_crop_image
+
+    return resize_crop_image(Image.open(io.BytesIO(data)), new_size, crop)
 
 
 def build_engine(cfg, checkpoint: str, member, direction: str,
@@ -71,6 +61,12 @@ def build_engine(cfg, checkpoint: str, member, direction: str,
         from councilx.ckpt.manager import load_params_npz
         quant_stats = load_params_npz(calibration)
     all_members = member == "all"
+    if all_members and quant_stats is not None:
+        raise SystemExit(
+            "--member all cannot use --calibration: the activation scales "
+            "are calibrated per member (tools/calibrate_quant.py --member); "
+            "quantized ensemble serving would silently clip the other "
+            "members' activations")
     if data_parallel > 1:
         if all_members:
             raise SystemExit("--member all is single-device "
@@ -131,8 +127,12 @@ def make_handler(engine, cfg):
                 self._json({"error": "not found"}, 404)
                 return
             q = urllib.parse.parse_qs(parsed.query)
-            seed = int(q.get("seed", ["0"])[0])
-            quality = int(q.get("quality", ["95"])[0])
+            try:
+                seed = int(q.get("seed", ["0"])[0])
+                quality = int(q.get("quality", ["95"])[0])
+            except ValueError:
+                self._json({"error": "seed/quality must be integers"}, 400)
+                return
             length = int(self.headers.get("Content-Length", "0"))
             if not length:
                 self._json({"error": "empty body"}, 400)
@@ -167,7 +167,9 @@ def make_handler(engine, cfg):
                                          f"values, got {z.size}"}, 400)
                     return
             try:
-                out = engine.translate_sync(x, z=z, seed=seed)
+                # generous timeout: with --no_warmup the first request per
+                # bucket pays a jit compile (minutes through a TPU tunnel)
+                out = engine.translate_sync(x, z=z, seed=seed, timeout=1200)
             except Exception as e:
                 self._json({"error": f"translate failed: {e}"}, 500)
                 return
