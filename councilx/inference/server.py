@@ -116,9 +116,11 @@ class BatchingEngine:
         every request resolves to all N members' translations of its image
         under one shared style draw — shape (N, H, W, 3) uint8. One vmapped
         device call per batch (effective batch N x bucket; at 256px this
-        OOMs beyond bucket ~128 — size max_batch accordingly, BASELINE.md).
-        Not supported with a ShardedTranslator (the vmapped member axis
-        does not GSPMD-partition; see CLAUDE.md).
+        OOMs beyond bucket ~128 on one chip — size max_batch accordingly,
+        BASELINE.md). Pass a MemberShardedTranslator to shard the MEMBER
+        axis over a ('council',) mesh (council-8 at single-member memory
+        per chip); a data-parallel ShardedTranslator is rejected (the
+        vmapped member axis does not GSPMD-partition; see CLAUDE.md).
     """
 
     def __init__(self, translator, params, image_hw, max_batch: int = 64,
@@ -130,19 +132,29 @@ class BatchingEngine:
         self.wire_format = wire_format
         self._wire_dtype = np.uint8 if wire_format == "u8" else np.float32
         self.all_members = all_members
+        mesh = getattr(translator, "mesh", None)
+        mesh_axes = tuple(mesh.axis_names) if mesh is not None else ()
         if all_members:
             import jax as _jax
-            if getattr(translator, "mesh", None) is not None:
-                raise ValueError("all_members serving is single-device "
-                                 "(the member axis cannot shard)")
+            if mesh is not None and mesh_axes != ("council",):
+                raise ValueError(
+                    "all_members serving cannot use a data-parallel mesh "
+                    "(GSPMD cannot shard the vmapped member axis) — use a "
+                    "MemberShardedTranslator over a ('council',) mesh to "
+                    "shard the MEMBERS instead")
             self.n_members = _jax.tree_util.tree_leaves(params)[0].shape[0]
         else:
+            if mesh_axes == ("council",):
+                raise ValueError("a member-sharded ('council',) mesh serves "
+                                 "all members — build the engine with "
+                                 "all_members=True (or use ShardedTranslator"
+                                 " for single-member data parallelism)")
             self.n_members = 1
         self.translator = translator
         self.style_dim = translator.cfg.gen.style_dim
         self.image_hw = tuple(image_hw)
-        mesh = getattr(translator, "mesh", None)
-        multiple = int(mesh.shape["data"]) if mesh is not None else 1
+        multiple = (int(mesh.shape["data"])
+                    if mesh is not None and "data" in mesh_axes else 1)
         if max_batch % multiple:
             raise ValueError(f"max_batch {max_batch} must be a multiple of "
                              f"the serving mesh size {multiple}")

@@ -319,6 +319,107 @@ class ShardedTranslator(Translator):
         return self._sh_translate_u8io(params, x_u8, z)
 
 
+class MemberShardedTranslator(Translator):
+    """Council-ensemble translation with the MEMBER axis sharded over a 1-D
+    ``('council',)`` mesh (parallel.mesh.make_member_mesh) — council-8
+    ensemble serving at single-member latency.
+
+    GSPMD cannot partition the vmapped member axis (the per-member convs
+    lower to grouped convolutions whose group dim XLA refuses to split —
+    the same constraint that makes member-parallel TRAINING the explicit
+    shard_map trainer, parallel/council_shard.py). So this is shard_map:
+    each device holds council_size / mesh_size members' stacked params,
+    the batch and the shared style draw replicate, every device runs the
+    vmapped local translate with NO collectives at all, and the
+    (N, B, H, W, 3) output stays member-sharded until the host readback
+    gathers it. Numerics are exactly the single-device all-members path
+    (each member's program is untouched; tests assert bitwise equality).
+
+    Quantized ensemble serving stays rejected here for the same reason
+    serve.py rejects it: activation scales are calibrated per member.
+    """
+
+    def __init__(self, cfg: Config, mesh, quant_stats=None):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:            # older jax
+            from jax.experimental.shard_map import shard_map
+
+        if tuple(mesh.axis_names) != ("council",):
+            raise ValueError(
+                "MemberShardedTranslator takes a 1-D ('council',) mesh "
+                f"(parallel.mesh.make_member_mesh), got axes "
+                f"{mesh.axis_names}")
+        n = cfg.council.council_size
+        k = mesh.shape["council"]
+        if n % k:
+            raise ValueError(f"council_size {n} not divisible by member-"
+                             f"mesh size {k}")
+        if quant_stats is not None:
+            raise ValueError("quantized ensemble serving is unsupported: "
+                             "activation scales are calibrated per member "
+                             "(tools/calibrate_quant.py --member)")
+        super().__init__(cfg)
+        self.mesh = mesh
+        self._rep = NamedSharding(mesh, P())
+        self._msh = NamedSharding(mesh, P("council"))
+
+        def all_u8(params, x, z):
+            return Translator._translate_all_u8.__wrapped__(
+                self, params, x, z)
+
+        def all_u8io(params, x_u8, z):
+            return Translator._translate_all_u8io.__wrapped__(
+                self, params, x_u8, z)
+
+        specs = dict(mesh=mesh, in_specs=(P("council"), P(), P()),
+                     out_specs=P("council"), check_vma=False)
+        # check_vma=False: unlike the trainer there is NO cross-member
+        # term here — params enter device-varying (sharded), x/z enter
+        # replicated, and the output's member axis is genuinely sharded;
+        # nothing needs a collective, so there is no psum placement for
+        # vma checking to protect.
+        self._sh_all_u8 = jax.jit(shard_map(all_u8, **specs))
+        self._sh_all_u8io = jax.jit(shard_map(all_u8io, **specs))
+
+    def place_params(self, stacked_params):
+        """Pin the stacked (N, ...) tree with the member axis sharded."""
+        return jax.device_put(stacked_params, self._msh)
+
+    def translate_all_u8_device(self, stacked_params, x, z):
+        return self._sh_all_u8(stacked_params, x, z)
+
+    def translate_all_u8io_device(self, stacked_params, x_u8, z):
+        return self._sh_all_u8io(stacked_params, x_u8, z)
+
+    def translate_all_members(self, stacked_params, x, z=None, rng=None):
+        """(N,B,H,W,3) float translations + masks — CLI-compatible
+        all-members path, member-sharded. z is (N,B,S) like the base
+        class (each member may get its own draw)."""
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+
+        if z is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            n = self.cfg.council.council_size
+            z = jax.random.normal(
+                rng, (n, x.shape[0], self.cfg.gen.style_dim))
+        if not hasattr(self, "_sh_all_f32"):
+            def all_f32(params, x, z):
+                return Translator._translate_all_members.__wrapped__(
+                    self, params, x, z)
+            self._sh_all_f32 = jax.jit(shard_map(
+                all_f32, mesh=self.mesh,
+                in_specs=(P("council"), P(), P("council")),
+                out_specs=P("council"), check_vma=False))
+        return self._sh_all_f32(stacked_params, x, z)
+
+
 def denormalize_to_uint8(img: np.ndarray) -> np.ndarray:
     """[-1,1] float -> uint8, matching the reference's save path
     (vutils.save_image((out+1)/2): scale, clamp, round)."""

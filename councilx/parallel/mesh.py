@@ -60,6 +60,18 @@ def make_mesh(n_devices: Optional[int] = None, devices=None,
     return Mesh(grid, axis_names=("data", "council"))
 
 
+def make_member_mesh(n_shards: int, devices=None) -> Mesh:
+    """1-D ``('council',)`` mesh for member-sharded ensemble SERVING
+    (inference.translate.MemberShardedTranslator): the stacked council
+    axis splits over devices, the batch replicates. Distinct from
+    make_mesh(council_parallel=k), whose 2-D mesh is the training layout."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < n_shards:
+        raise ValueError(f"need {n_shards} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n_shards]), axis_names=("council",))
+
+
 def shard_batch(mesh: Mesh, batch) -> jax.Array:
     """Place a batch sharded over the mesh's data axis.
 

@@ -53,7 +53,8 @@ def build_engine(cfg, checkpoint: str, member, direction: str,
                  warmup: bool = True, calibration: str = None):
     import jax
     from councilx.inference.server import BatchingEngine
-    from councilx.inference.translate import ShardedTranslator, Translator
+    from councilx.inference.translate import (MemberShardedTranslator,
+                                              ShardedTranslator, Translator)
     from test_on_folder import load_generator_params
 
     quant_stats = None
@@ -69,11 +70,22 @@ def build_engine(cfg, checkpoint: str, member, direction: str,
             "members' activations")
     if data_parallel > 1:
         if all_members:
-            raise SystemExit("--member all is single-device "
-                             "(drop --data_parallel)")
-        from councilx.parallel.mesh import make_mesh
-        translator = ShardedTranslator(cfg, make_mesh(data_parallel),
-                                       quant_stats=quant_stats)
+            # ensemble serving shards the MEMBER axis (GSPMD cannot split
+            # the vmapped council axis; shard_map path, see
+            # MemberShardedTranslator) — council-8 at per-chip memory of
+            # council-8/data_parallel members
+            from councilx.parallel.mesh import make_member_mesh
+            if cfg.council.council_size % data_parallel:
+                raise SystemExit(
+                    f"--data_parallel {data_parallel} must divide "
+                    f"council_size {cfg.council.council_size} for "
+                    "--member all (the member axis is what shards)")
+            translator = MemberShardedTranslator(
+                cfg, make_member_mesh(data_parallel))
+        else:
+            from councilx.parallel.mesh import make_mesh
+            translator = ShardedTranslator(cfg, make_mesh(data_parallel),
+                                           quant_stats=quant_stats)
     else:
         translator = Translator(cfg, quant_stats=quant_stats)
     stacked = load_generator_params(checkpoint, cfg, direction)
@@ -206,7 +218,9 @@ def main():
     p.add_argument("--max_batch", type=int, default=64)
     p.add_argument("--max_delay_ms", type=float, default=5.0)
     p.add_argument("--data_parallel", type=int, default=0,
-                   help="shard serving batches over this many devices")
+                   help="shard serving over this many devices: the BATCH "
+                        "axis for a single member, the MEMBER axis with "
+                        "--member all (must divide council_size)")
     p.add_argument("--no_warmup", action="store_true")
     p.add_argument("--quant", default=None,
                    choices=["none", "w8a8", "w8a8_static"],

@@ -259,9 +259,103 @@ class TestAllMembersEngine:
         _, _, stacked = _make_translator_params(cfg)
         mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
         tr = ShardedTranslator(cfg, mesh)
-        with pytest.raises(ValueError, match="single-device"):
+        with pytest.raises(ValueError, match="data-parallel mesh"):
             BatchingEngine(tr, stacked, image_hw=(32, 32), max_batch=4,
                            all_members=True)
+
+
+class TestMemberShardedEngine:
+    """Council-ensemble serving with the MEMBER axis sharded over a
+    ('council',) mesh — shard_map, no collectives, bitwise equal to the
+    single-device vmapped all-members path."""
+
+    @staticmethod
+    def _stacked4(cfg):
+        from councilx.inference.translate import Translator
+
+        tr = Translator(cfg)
+        dummy = np.zeros((1, 32, 32, 3), np.float32)
+        stacked = jax.vmap(tr.gen.init, in_axes=(0, None))(
+            jax.random.split(jax.random.PRNGKey(0), 4), dummy)["params"]
+        return tr, stacked
+
+    def test_translator_matches_single_device(self, rng):
+        from councilx.inference.translate import MemberShardedTranslator
+        from councilx.parallel.mesh import make_member_mesh
+
+        cfg = tiny_config(council={"council_size": 4, "council_w": 0.2})
+        tr1, stacked = self._stacked4(cfg)
+        x = rng.randint(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+        z = rng.randn(2, cfg.gen.style_dim).astype(np.float32)
+        want = np.asarray(tr1.translate_all_u8io_device(stacked, x, z))
+        for k in (2, 4):
+            trm = MemberShardedTranslator(cfg, make_member_mesh(k))
+            placed = trm.place_params(stacked)
+            got = np.asarray(trm.translate_all_u8io_device(placed, x, z))
+            np.testing.assert_array_equal(got, want)
+
+    def test_translator_f32_all_members_path(self, rng):
+        from councilx.inference.translate import MemberShardedTranslator
+        from councilx.parallel.mesh import make_member_mesh
+
+        cfg = tiny_config(council={"council_size": 4, "council_w": 0.2})
+        tr1, stacked = self._stacked4(cfg)
+        x = np.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), np.float32)
+        z = rng.randn(4, 2, cfg.gen.style_dim).astype(np.float32)
+        want = jax.device_get(tr1.translate_all_members(stacked, x, z=z))
+        trm = MemberShardedTranslator(cfg, make_member_mesh(2))
+        got = jax.device_get(
+            trm.translate_all_members(trm.place_params(stacked), x, z=z))
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(want)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_engine_member_sharded_ensemble(self, rng):
+        from councilx.inference.server import BatchingEngine
+        from councilx.inference.translate import MemberShardedTranslator
+        from councilx.parallel.mesh import make_member_mesh
+
+        cfg = tiny_config(council={"council_size": 4, "council_w": 0.2})
+        tr1, stacked = self._stacked4(cfg)
+        trm = MemberShardedTranslator(cfg, make_member_mesh(2))
+        engine = BatchingEngine(trm, stacked, image_hw=(32, 32),
+                                max_batch=4, max_delay_ms=1.0,
+                                all_members=True)
+        engine.start()
+        try:
+            assert engine.n_members == 4
+            assert engine.buckets == [1, 2, 4]   # member mesh: multiple=1
+            x = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+            z = engine.make_z(9)
+            got = engine.translate_sync(x, z=z)
+            assert got.shape == (4, 32, 32, 3) and got.dtype == np.uint8
+            want = np.asarray(tr1.translate_all_u8io_device(
+                stacked, x[None], z[None]))[:, 0]
+            np.testing.assert_array_equal(got, want)
+        finally:
+            engine.stop()
+
+    def test_validation(self):
+        from councilx.inference.server import BatchingEngine
+        from councilx.inference.translate import MemberShardedTranslator
+        from councilx.parallel.mesh import make_member_mesh, make_mesh
+
+        cfg = tiny_config(council={"council_size": 4, "council_w": 0.2})
+        _, stacked = self._stacked4(cfg)
+        # mesh size must divide council_size
+        with pytest.raises(ValueError, match="not divisible"):
+            MemberShardedTranslator(cfg, make_member_mesh(3))
+        # member mesh must be the ('council',) axis
+        with pytest.raises(ValueError, match="council"):
+            MemberShardedTranslator(cfg, make_mesh(2))
+        # quantized ensemble serving is rejected (per-member scales)
+        with pytest.raises(ValueError, match="per member"):
+            MemberShardedTranslator(cfg, make_member_mesh(2),
+                                    quant_stats={"x": np.ones(1)})
+        # single-member engine refuses a member mesh
+        trm = MemberShardedTranslator(cfg, make_member_mesh(2))
+        with pytest.raises(ValueError, match="all_members=True"):
+            BatchingEngine(trm, stacked, image_hw=(32, 32), max_batch=4)
 
 
 class TestShardedEngine:
