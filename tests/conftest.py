@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Pin the ENV VAR too, not just jax.config below: tunnel images export
+# JAX_PLATFORMS=<tpu backend>, and any test that imports a CLI module
+# calling utils.platform.apply_env_platform() would re-apply that value
+# over our CPU config — silently moving the suite onto the TPU (and
+# BLOCKING whenever another process holds the chip; measured round 3).
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

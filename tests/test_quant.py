@@ -261,3 +261,84 @@ class TestStaticQuant:
         for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(stats)),
                         jax.tree_util.tree_leaves(loaded)):
             np.testing.assert_allclose(a, b)
+
+
+class TestQuantQualityTool:
+    """tools/quant_quality.py — the pre-production quality gate: same
+    (x, z) through the bf16 and quantized serving paths, PSNR/uint8 deltas
+    in output space."""
+
+    def test_compare_end_to_end(self, tmp_path):
+        import yaml
+
+        from councilx.ckpt.manager import save_params_npz
+        from councilx.nn.generator import AdaINGen
+        from councilx.inference.translate import Translator
+        from tools.quant_quality import compare
+
+        raw = {
+            "batch_size": 2,
+            "compute_dtype": "float32",
+            "gen": {"dim": 8, "mlp_dim": 16, "style_dim": 3,
+                    "n_downsample": 2, "n_res": 2},
+            "dis": {"dim": 8, "n_layer": 2, "num_scales": 2},
+            "council": {"council_size": 2, "council_w": 0.2},
+            "data": {"new_size": 36, "crop_image_height": 32,
+                     "crop_image_width": 32},
+        }
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(yaml.safe_dump(raw))
+
+        # stacked random-init generator checkpoint
+        from councilx.config import Config
+        cfg = Config.from_dict(raw)
+        tr = Translator(cfg)
+        dummy = np.zeros((1, 32, 32, 3), np.float32)
+        stacked = jax.vmap(tr.gen.init, in_axes=(0, None))(
+            jax.random.split(jax.random.PRNGKey(0), 2), dummy)["params"]
+        ckpt = tmp_path / "gen.npz"
+        save_params_npz(str(ckpt), stacked)
+
+        # mini calibration for the static mode (member 0)
+        params0 = jax.tree_util.tree_map(lambda l: l[0], stacked)
+        gen_c = tr.gen.copy(quant="w8a8_calib")
+        stats = gen_c.init(jax.random.PRNGKey(0), dummy)["quant_stats"]
+        r = np.random.RandomState(3)
+        x = jnp.asarray(r.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+        z = jnp.asarray(r.randn(2, 3).astype(np.float32))
+        c, upd = gen_c.apply({"params": params0, "quant_stats": stats},
+                             x, method=AdaINGen.encode_content,
+                             mutable=["quant_stats"])
+        stats = upd["quant_stats"]
+        _, upd = gen_c.apply({"params": params0, "quant_stats": stats},
+                             c, z, method=AdaINGen.decode,
+                             mutable=["quant_stats"])
+        calib = tmp_path / "qs.npz"
+        save_params_npz(str(calib), jax.device_get(upd["quant_stats"]))
+
+        results = compare(str(cfg_path), str(ckpt), member=0,
+                          direction="a2b", modes=["w8a8", "w8a8_static"],
+                          calibration=str(calib), batch_size=2,
+                          num_batches=2, seed=0)
+        for mode in ("w8a8", "w8a8_static"):
+            m = results[mode]
+            assert m["images"] == 4
+            assert m["psnr_min_db"] > 20.0, m   # quant is CLOSE, not exact
+            assert m["maxabs_u8"] < 128, m
+            assert m["meanabs_u8"] < 8.0, m
+
+    def test_static_requires_calibration(self, tmp_path):
+        import yaml
+
+        from tools.quant_quality import compare
+
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(yaml.safe_dump({
+            "gen": {"dim": 8, "mlp_dim": 16, "style_dim": 3,
+                    "n_downsample": 2, "n_res": 2},
+            "council": {"council_size": 2},
+            "data": {"crop_image_height": 32, "crop_image_width": 32},
+        }))
+        with pytest.raises(SystemExit):
+            compare(str(cfg_path), "missing.npz", 0, "a2b",
+                    ["w8a8_static"], calibration=None)

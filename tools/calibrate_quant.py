@@ -28,17 +28,20 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from councilx.utils.platform import apply_env_platform
-
-apply_env_platform()
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
+# apply_env_platform() runs in main(), not at import — importable modules
+# must not re-apply the ambient JAX_PLATFORMS over a test harness's
+# forced-CPU config (see tools/quant_quality.py for the full story).
+
 
 def main():
+    from councilx.utils.platform import apply_env_platform
+
+    apply_env_platform()
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
     p.add_argument("--checkpoint", required=True)

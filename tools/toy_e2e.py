@@ -81,6 +81,11 @@ def main():
     ap.add_argument("--z_mode", default=None,
                     choices=["shared", "dis_shared", "per_phase"],
                     help="overrides --shared_z when given")
+    ap.add_argument("--gen_member_chunks", type=int, default=1,
+                    help="chunk the generator update over the council axis "
+                         "(the single-chip council-8 memory path) — proves "
+                         "the chunked step TRAINS, beyond the gradient-"
+                         "equality unit test")
     ap.add_argument("--in_precision", default=None,
                     choices=["f32", "mixed", "bf16"],
                     help="instance-norm internal precision (None = Config "
@@ -129,6 +134,8 @@ def main():
         "do_b2a": args.directions in ("b2a", "both"),
         "shared_z": bool(args.shared_z),
         **({"z_mode": args.z_mode} if args.z_mode else {}),
+        **({"gen_member_chunks": args.gen_member_chunks}
+           if args.gen_member_chunks > 1 else {}),
         **({"in_precision": args.in_precision}
            if args.in_precision else {}),
         "recon_x_w": 10.0, "recon_s_w": 1.0, "recon_c_w": 1.0,
