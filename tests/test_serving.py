@@ -559,3 +559,79 @@ class TestServeHTTP:
         status, _, body = _post(serve_server, "/translate?z=1.0,2.0",
                                 _jpeg_bytes())
         assert status == 400 and b"needs 3" in body
+
+
+class TestServeHTTPMemberSharded:
+    """serve.py --member all --data_parallel 2: the HTTP surface over the
+    member-sharded ('council',) mesh — ensemble strip response with the
+    member axis actually sharded across devices."""
+
+    @pytest.fixture(scope="class")
+    def member_server(self, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("serve_member")
+        cfg_path = tmp / "tiny.yaml"
+        cfg_path.write_text(SERVE_YAML)
+
+        from councilx.ckpt.manager import save_params_npz
+        from councilx.config import load_config
+        from councilx.inference.translate import Translator
+
+        cfg = load_config(str(cfg_path))
+        tr = Translator(cfg)
+        dummy = np.zeros((1, 16, 16, 3), np.float32)
+        params = jax.vmap(tr.gen.init, in_axes=(0, None))(
+            jax.random.split(jax.random.PRNGKey(0), 2), dummy)["params"]
+        ckpt = tmp / "gen.npz"
+        save_params_npz(str(ckpt), params)
+
+        port = _free_port()
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        flags = env.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (flags +
+                                " --xla_force_host_platform_device_count=8"
+                                ).strip()
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "serve.py"),
+             "--config", str(cfg_path), "--checkpoint", str(ckpt),
+             "--member", "all", "--data_parallel", "2",
+             "--port", str(port), "--max_batch", "4", "--max_delay_ms", "2"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        deadline = time.time() + 180
+        last_err = None
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                out = proc.stdout.read().decode(errors="replace")
+                raise RuntimeError(f"serve.py exited early:\n{out}")
+            try:
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+                c.request("GET", "/healthz")
+                c.getresponse().read()
+                c.close()
+                break
+            except OSError as e:
+                last_err = e
+                time.sleep(0.5)
+        else:
+            proc.terminate()
+            raise RuntimeError(f"serve.py never came up: {last_err}")
+        yield port
+        proc.terminate()
+        proc.wait(timeout=30)
+
+    def test_ensemble_strip_over_member_mesh(self, member_server):
+        from PIL import Image
+
+        status, ctype, body = _post(member_server, "/translate?seed=4",
+                                    _jpeg_bytes(hw=20))
+        assert status == 200 and ctype == "image/jpeg"
+        img = Image.open(io.BytesIO(body))
+        # 2 members side by side at the 16px serving crop
+        assert img.size == (32, 16)
+
+    def test_ensemble_deterministic_per_seed(self, member_server):
+        raw = _jpeg_bytes(hw=20)
+        _, _, a = _post(member_server, "/translate?seed=7", raw)
+        _, _, b = _post(member_server, "/translate?seed=7", raw)
+        assert a == b
