@@ -41,11 +41,30 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
 import numpy as np
+
+
+def _set_result(future: Future, value) -> None:
+    """Resolve a future, tolerating a concurrent client cancel(): done()
+    pre-checks are TOCTOU (cancel can land between the check and the set,
+    and an unhandled InvalidStateError would kill the worker thread and
+    wedge the engine) — catching the race is the only airtight form."""
+    try:
+        future.set_result(value)
+    except InvalidStateError:
+        pass                              # client cancelled; result dropped
+
+
+def _set_exception(future: Future, exc: Exception) -> None:
+    """set_exception with the same cancel-race tolerance as _set_result."""
+    try:
+        future.set_exception(exc)
+    except InvalidStateError:
+        pass
 
 
 def _bucket_ladder(max_batch: int, multiple: int) -> List[int]:
@@ -171,6 +190,10 @@ class BatchingEngine:
         self.pipeline = pipeline
         self.stats = EngineStats()
         self._stats_lock = threading.Lock()
+        # serializes submit()'s running-check+enqueue against stop()'s
+        # flag-flip+drain, so no request can slip into the queue after the
+        # drain and strand its future
+        self._lifecycle_lock = threading.Lock()
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._ready: "queue.Queue" = queue.Queue(maxsize=2)
         self._dispatcher: Optional[threading.Thread] = None
@@ -193,24 +216,27 @@ class BatchingEngine:
             self._reader.start()
 
     def stop(self):
-        if not self._running:
-            return
-        self._running = False
+        with self._lifecycle_lock:
+            if not self._running:
+                return
+            self._running = False
         self._q.put(None)                      # wake the dispatcher
         self._dispatcher.join(timeout=60)
         self._dispatcher = None
         if self._reader is not None:
             self._reader.join(timeout=60)      # sentinel sent by dispatcher
             self._reader = None
-        # fail any request that raced stop() into the queue behind the
-        # sentinel — its future would otherwise never resolve
+        # fail any request still in the queue behind the sentinel — its
+        # future would otherwise never resolve (the lifecycle lock means
+        # nothing can enqueue after _running flipped, so this drain is
+        # complete)
         while True:
             try:
                 req = self._q.get_nowait()
             except queue.Empty:
                 break
-            if req is not None and not req.future.done():
-                req.future.set_exception(RuntimeError("engine stopped"))
+            if req is not None:
+                _set_exception(req.future, RuntimeError("engine stopped"))
 
     def snapshot_stats(self) -> dict:
         with self._stats_lock:
@@ -261,7 +287,10 @@ class BatchingEngine:
             z = self.make_z(seed)
         req = _Request(x.astype(self._wire_dtype, copy=False),
                        np.asarray(z, np.float32))
-        self._q.put(req)
+        with self._lifecycle_lock:
+            if not self._running:        # raced a concurrent stop()
+                raise RuntimeError("engine not started")
+            self._q.put(req)
         return req.future
 
     def translate_sync(self, x: np.ndarray, z: Optional[np.ndarray] = None,
@@ -340,8 +369,7 @@ class BatchingEngine:
 
     def _fail(self, batch: List[_Request], e: Exception):
         for r in batch:
-            if not r.future.done():
-                r.future.set_exception(e)
+            _set_exception(r.future, e)
 
     def _device_call(self, x: np.ndarray, z: np.ndarray):
         if self.all_members:
@@ -386,10 +414,6 @@ class BatchingEngine:
             for r in batch:
                 st.total_latency_s += now - r.t_submit
         for i, r in enumerate(batch):
-            # all-members batches come back (N, bucket, H, W, 3); guard:
-            # a client may have cancelled its pending future, and an
-            # unguarded set_result would raise InvalidStateError and kill
-            # this worker thread (wedging the engine)
-            if not r.future.done():
-                r.future.set_result(out[:, i] if self.all_members
-                                    else out[i])
+            # all-members batches come back (N, bucket, H, W, 3)
+            _set_result(r.future,
+                        out[:, i] if self.all_members else out[i])

@@ -19,6 +19,13 @@ from councilx.config import Config
 from councilx.nn.blocks import make_kernel_init
 from councilx.nn.generator import AdaINGen, composite_with_mask
 
+try:
+    from jax import shard_map as _shard_map
+    _SHARD_MAP_NOCHECK = {"check_vma": False}
+except ImportError:                      # pre-public-API jax: the
+    from jax.experimental.shard_map import shard_map as _shard_map
+    _SHARD_MAP_NOCHECK = {"check_rep": False}   # old kwarg spelling
+
 
 class Translator:
     """Holds the generator definition and jitted translate functions.
@@ -341,10 +348,6 @@ class MemberShardedTranslator(Translator):
 
     def __init__(self, cfg: Config, mesh, quant_stats=None):
         from jax.sharding import NamedSharding, PartitionSpec as P
-        try:
-            from jax import shard_map
-        except ImportError:            # older jax
-            from jax.experimental.shard_map import shard_map
 
         if tuple(mesh.axis_names) != ("council",):
             raise ValueError(
@@ -374,14 +377,14 @@ class MemberShardedTranslator(Translator):
                 self, params, x_u8, z)
 
         specs = dict(mesh=mesh, in_specs=(P("council"), P(), P()),
-                     out_specs=P("council"), check_vma=False)
-        # check_vma=False: unlike the trainer there is NO cross-member
+                     out_specs=P("council"), **_SHARD_MAP_NOCHECK)
+        # no-check mode: unlike the trainer there is NO cross-member
         # term here — params enter device-varying (sharded), x/z enter
         # replicated, and the output's member axis is genuinely sharded;
         # nothing needs a collective, so there is no psum placement for
         # vma checking to protect.
-        self._sh_all_u8 = jax.jit(shard_map(all_u8, **specs))
-        self._sh_all_u8io = jax.jit(shard_map(all_u8io, **specs))
+        self._sh_all_u8 = jax.jit(_shard_map(all_u8, **specs))
+        self._sh_all_u8io = jax.jit(_shard_map(all_u8io, **specs))
 
     def place_params(self, stacked_params):
         """Pin the stacked (N, ...) tree with the member axis sharded."""
@@ -398,10 +401,6 @@ class MemberShardedTranslator(Translator):
         all-members path, member-sharded. z is (N,B,S) like the base
         class (each member may get its own draw)."""
         from jax.sharding import PartitionSpec as P
-        try:
-            from jax import shard_map
-        except ImportError:
-            from jax.experimental.shard_map import shard_map
 
         if z is None:
             if rng is None:
@@ -413,10 +412,10 @@ class MemberShardedTranslator(Translator):
             def all_f32(params, x, z):
                 return Translator._translate_all_members.__wrapped__(
                     self, params, x, z)
-            self._sh_all_f32 = jax.jit(shard_map(
+            self._sh_all_f32 = jax.jit(_shard_map(
                 all_f32, mesh=self.mesh,
                 in_specs=(P("council"), P(), P("council")),
-                out_specs=P("council"), check_vma=False))
+                out_specs=P("council"), **_SHARD_MAP_NOCHECK))
         return self._sh_all_f32(stacked_params, x, z)
 
 

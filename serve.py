@@ -145,8 +145,12 @@ def make_handler(engine, cfg):
             except ValueError:
                 self._json({"error": "seed/quality must be integers"}, 400)
                 return
-            length = int(self.headers.get("Content-Length", "0"))
-            if not length:
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._json({"error": "bad Content-Length header"}, 400)
+                return
+            if length <= 0:
                 self._json({"error": "empty body"}, 400)
                 return
             data = self.rfile.read(length)

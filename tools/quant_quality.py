@@ -43,19 +43,27 @@ import jax.numpy as jnp
 # for CLI use.
 
 
+PSNR_CAP_DB = 99.0   # identical images report this, keeping the JSON finite
+
+
 def psnr_u8(a: np.ndarray, b: np.ndarray) -> float:
-    """PSNR in dB between two uint8 images (inf when identical)."""
+    """PSNR in dB between two uint8 images (capped at PSNR_CAP_DB when
+    identical — float('inf') would serialize as the non-JSON token
+    'Infinity')."""
     mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
     if mse == 0.0:
-        return float("inf")
-    return 10.0 * np.log10(255.0 ** 2 / mse)
+        return PSNR_CAP_DB
+    return min(PSNR_CAP_DB, 10.0 * np.log10(255.0 ** 2 / mse))
 
 
 def compare(cfg_path: str, checkpoint: str, member: int, direction: str,
             modes, calibration=None, input_folder=None, batch_size=8,
-            num_batches=4, seed=0):
+            num_batches=4, seed=0, sheet_path=None):
     """Translate identical (x, z) through quant='none' and each quant mode;
-    return {mode: metrics dict} measured on the uint8 serving outputs."""
+    return {mode: metrics dict} measured on the uint8 serving outputs.
+    With ``sheet_path``, also save a [input | bf16 | mode...] comparison
+    JPEG built from the FIRST measured batch (the same outputs the metrics
+    cover, no recompiles)."""
     from councilx.ckpt.manager import load_params_npz
     from councilx.config import load_config
     from councilx.data.ondevice import normalize_batch
@@ -92,6 +100,7 @@ def compare(cfg_path: str, checkpoint: str, member: int, direction: str,
 
     per_mode = {m: {"psnr": [], "absdiff": []} for m in modes}
     n_images = 0
+    sheet_rows = None
     for b in range(num_batches):
         if ds is not None:
             arrs = np.stack([ds[(b * batch_size + i) % len(ds)]
@@ -104,12 +113,25 @@ def compare(cfg_path: str, checkpoint: str, member: int, direction: str,
         z = jax.random.normal(sub, (batch_size, cfg.gen.style_dim))
         ref = translators["none"].translate_u8(params, x, z=z)
         n_images += x.shape[0]
+        if b == 0 and sheet_path:
+            sheet_rows = [np.asarray((x + 1.0) * 127.5).astype(np.uint8),
+                          ref]
         for mode in modes:
             out = translators[mode].translate_u8(params, x, z=z)
             d = np.abs(out.astype(np.int16) - ref.astype(np.int16))
             per_mode[mode]["absdiff"].append(d)
             per_mode[mode]["psnr"].extend(
                 psnr_u8(out[i], ref[i]) for i in range(out.shape[0]))
+            if b == 0 and sheet_path:
+                sheet_rows.append(out)
+
+    if sheet_path and sheet_rows is not None:
+        from councilx.utils.images import save_image_grid
+
+        sheet = np.concatenate(
+            [np.concatenate(list(np.asarray(row)), axis=1)
+             for row in sheet_rows], axis=0)
+        save_image_grid(sheet_path, sheet[None], nrow=1)
 
     results = {}
     for mode in modes:
@@ -162,49 +184,11 @@ def main():
                       args.direction, modes, calibration=args.calibration,
                       input_folder=args.input_folder,
                       batch_size=args.batch_size,
-                      num_batches=args.num_batches, seed=args.seed)
+                      num_batches=args.num_batches, seed=args.seed,
+                      sheet_path=args.sheet)
     for mode in modes:
         print(json.dumps(results[mode]))
-
     if args.sheet:
-        # re-run the first batch for the visual sheet
-        from councilx.utils.images import save_image_grid
-        from councilx.ckpt.manager import load_params_npz
-        from councilx.config import load_config
-        from councilx.data.ondevice import normalize_batch
-        from councilx.inference.translate import Translator
-        from test_on_folder import load_generator_params
-
-        cfg = load_config(args.config)
-        cfg.quant = "none"
-        stacked = load_generator_params(args.checkpoint, cfg, args.direction)
-        params = jax.tree_util.tree_map(lambda l: l[args.member], stacked)
-        hw = cfg.data.crop_image_height
-        if args.input_folder:
-            from councilx.data.dataset import ImageFolderDataset
-            ds = ImageFolderDataset(args.input_folder,
-                                    new_size=cfg.data.new_size, crop=hw)
-            arrs = np.stack([ds[i % len(ds)]
-                             for i in range(args.batch_size)])
-            x = jnp.asarray(np.asarray(normalize_batch(jnp.asarray(arrs))))
-        else:
-            x = jnp.asarray(np.random.RandomState(args.seed)
-                            .uniform(-1, 1, (args.batch_size, hw, hw, 3))
-                            .astype(np.float32))
-        z = jax.random.normal(jax.random.PRNGKey(args.seed),
-                              (args.batch_size, cfg.gen.style_dim))
-        rows = [np.asarray((x + 1.0) * 127.5).astype(np.uint8),
-                Translator(cfg).translate_u8(params, x, z=z)]
-        for mode in modes:
-            mcfg = load_config(args.config)
-            mcfg.quant = mode
-            stats = (load_params_npz(args.calibration)
-                     if mode == "w8a8_static" else None)
-            rows.append(Translator(mcfg, quant_stats=stats)
-                        .translate_u8(params, x, z=z))
-        sheet = np.concatenate([np.concatenate(list(np.asarray(r)), axis=1)
-                                for r in rows], axis=0)
-        save_image_grid(args.sheet, sheet[None], nrow=1)
         print(f"sheet -> {args.sheet}")
 
 
