@@ -155,15 +155,15 @@ class BatchingEngine:
         mesh_axes = tuple(mesh.axis_names) if mesh is not None else ()
         if all_members:
             import jax as _jax
-            if mesh is not None and mesh_axes != ("council",):
+            if mesh is not None and "council" not in mesh_axes:
                 raise ValueError(
-                    "all_members serving cannot use a data-parallel mesh "
-                    "(GSPMD cannot shard the vmapped member axis) — use a "
-                    "MemberShardedTranslator over a ('council',) mesh to "
-                    "shard the MEMBERS instead")
+                    "all_members serving cannot use a plain data-parallel "
+                    "mesh (GSPMD cannot shard the vmapped member axis) — "
+                    "use a MemberShardedTranslator over a ('council',) or "
+                    "('data','council') mesh to shard the MEMBERS")
             self.n_members = _jax.tree_util.tree_leaves(params)[0].shape[0]
         else:
-            if mesh_axes == ("council",):
+            if "council" in mesh_axes:
                 raise ValueError("a member-sharded ('council',) mesh serves "
                                  "all members — build the engine with "
                                  "all_members=True (or use ShardedTranslator"

@@ -349,11 +349,12 @@ class MemberShardedTranslator(Translator):
     def __init__(self, cfg: Config, mesh, quant_stats=None):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if tuple(mesh.axis_names) != ("council",):
+        axes = tuple(mesh.axis_names)
+        if axes not in (("council",), ("data", "council")):
             raise ValueError(
-                "MemberShardedTranslator takes a 1-D ('council',) mesh "
-                f"(parallel.mesh.make_member_mesh), got axes "
-                f"{mesh.axis_names}")
+                "MemberShardedTranslator takes a ('council',) or "
+                "('data','council') mesh (parallel.mesh.make_member_mesh), "
+                f"got axes {mesh.axis_names}")
         n = cfg.council.council_size
         k = mesh.shape["council"]
         if n % k:
@@ -365,8 +366,12 @@ class MemberShardedTranslator(Translator):
                              "(tools/calibrate_quant.py --member)")
         super().__init__(cfg)
         self.mesh = mesh
+        self._data_size = int(mesh.shape.get("data", 1))
+        has_data = "data" in axes
         self._rep = NamedSharding(mesh, P())
         self._msh = NamedSharding(mesh, P("council"))
+        batch_spec = P("data") if has_data else P()
+        out_spec = P("council", "data") if has_data else P("council")
 
         def all_u8(params, x, z):
             return Translator._translate_all_u8.__wrapped__(
@@ -376,24 +381,36 @@ class MemberShardedTranslator(Translator):
             return Translator._translate_all_u8io.__wrapped__(
                 self, params, x_u8, z)
 
-        specs = dict(mesh=mesh, in_specs=(P("council"), P(), P()),
-                     out_specs=P("council"), **_SHARD_MAP_NOCHECK)
+        specs = dict(mesh=mesh,
+                     in_specs=(P("council"), batch_spec, batch_spec),
+                     out_specs=out_spec, **_SHARD_MAP_NOCHECK)
         # no-check mode: unlike the trainer there is NO cross-member
-        # term here — params enter device-varying (sharded), x/z enter
-        # replicated, and the output's member axis is genuinely sharded;
-        # nothing needs a collective, so there is no psum placement for
-        # vma checking to protect.
+        # term here — params enter device-varying (council-sharded), the
+        # batch enters either replicated or data-sharded, and the output
+        # is sharded over both axes it computes locally; nothing needs a
+        # collective, so there is no psum placement for vma checking to
+        # protect.
         self._sh_all_u8 = jax.jit(_shard_map(all_u8, **specs))
         self._sh_all_u8io = jax.jit(_shard_map(all_u8io, **specs))
 
     def place_params(self, stacked_params):
-        """Pin the stacked (N, ...) tree with the member axis sharded."""
+        """Pin the stacked (N, ...) tree with the member axis sharded
+        (and, on a 2-D mesh, replicated along 'data')."""
         return jax.device_put(stacked_params, self._msh)
 
+    def _check_batch(self, x):
+        if x.shape[0] % self._data_size:
+            raise ValueError(
+                f"global batch {x.shape[0]} not divisible by the serving "
+                f"mesh's data-axis size {self._data_size} (the engine's "
+                "bucket ladder guarantees this; pad manual calls)")
+
     def translate_all_u8_device(self, stacked_params, x, z):
+        self._check_batch(x)
         return self._sh_all_u8(stacked_params, x, z)
 
     def translate_all_u8io_device(self, stacked_params, x_u8, z):
+        self._check_batch(x_u8)
         return self._sh_all_u8io(stacked_params, x_u8, z)
 
     def translate_all_members(self, stacked_params, x, z=None, rng=None):
@@ -409,13 +426,18 @@ class MemberShardedTranslator(Translator):
             z = jax.random.normal(
                 rng, (n, x.shape[0], self.cfg.gen.style_dim))
         if not hasattr(self, "_sh_all_f32"):
+            has_data = "data" in self.mesh.axis_names
+            bspec = P("data") if has_data else P()
+            mspec = (P("council", "data") if has_data else P("council"))
+
             def all_f32(params, x, z):
                 return Translator._translate_all_members.__wrapped__(
                     self, params, x, z)
             self._sh_all_f32 = jax.jit(_shard_map(
                 all_f32, mesh=self.mesh,
-                in_specs=(P("council"), P(), P("council")),
-                out_specs=P("council"), **_SHARD_MAP_NOCHECK))
+                in_specs=(P("council"), bspec, mspec),
+                out_specs=mspec, **_SHARD_MAP_NOCHECK))
+        self._check_batch(x)
         return self._sh_all_f32(stacked_params, x, z)
 
 

@@ -60,16 +60,27 @@ def make_mesh(n_devices: Optional[int] = None, devices=None,
     return Mesh(grid, axis_names=("data", "council"))
 
 
-def make_member_mesh(n_shards: int, devices=None) -> Mesh:
-    """1-D ``('council',)`` mesh for member-sharded ensemble SERVING
-    (inference.translate.MemberShardedTranslator): the stacked council
-    axis splits over devices, the batch replicates. Distinct from
-    make_mesh(council_parallel=k), whose 2-D mesh is the training layout."""
+def make_member_mesh(n_shards: int, devices=None,
+                     data_parallel: int = 1) -> Mesh:
+    """Mesh for member-sharded ensemble SERVING
+    (inference.translate.MemberShardedTranslator).
+
+    ``data_parallel=1`` (default): 1-D ``('council',)`` — the stacked
+    council axis splits over devices, the batch replicates.
+    ``data_parallel=D``: 2-D ``('data','council')`` over D*n_shards
+    devices — the batch additionally shards over 'data' (pod-scale
+    ensemble serving: council-8 over 16 chips = 8 member shards x 2 batch
+    shards). Distinct from make_mesh(council_parallel=k), whose 2-D mesh
+    is the training layout."""
     if devices is None:
         devices = jax.devices()
-    if len(devices) < n_shards:
-        raise ValueError(f"need {n_shards} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[:n_shards]), axis_names=("council",))
+    need = n_shards * data_parallel
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    if data_parallel <= 1:
+        return Mesh(np.asarray(devices[:n_shards]), axis_names=("council",))
+    grid = np.asarray(devices[:need]).reshape(data_parallel, n_shards)
+    return Mesh(grid, axis_names=("data", "council"))
 
 
 def shard_batch(mesh: Mesh, batch) -> jax.Array:

@@ -50,7 +50,8 @@ def preprocess_bytes(data: bytes, new_size: int, crop: int):
 
 def build_engine(cfg, checkpoint: str, member, direction: str,
                  max_batch: int, max_delay_ms: float, data_parallel: int,
-                 warmup: bool = True, calibration: str = None):
+                 warmup: bool = True, calibration: str = None,
+                 member_parallel: int = 0):
     import jax
     from councilx.inference.server import BatchingEngine
     from councilx.inference.translate import (MemberShardedTranslator,
@@ -68,24 +69,28 @@ def build_engine(cfg, checkpoint: str, member, direction: str,
             "are calibrated per member (tools/calibrate_quant.py --member); "
             "quantized ensemble serving would silently clip the other "
             "members' activations")
-    if data_parallel > 1:
-        if all_members:
-            # ensemble serving shards the MEMBER axis (GSPMD cannot split
-            # the vmapped council axis; shard_map path, see
-            # MemberShardedTranslator) — council-8 at per-chip memory of
-            # council-8/data_parallel members
-            from councilx.parallel.mesh import make_member_mesh
-            if cfg.council.council_size % data_parallel:
-                raise SystemExit(
-                    f"--data_parallel {data_parallel} must divide "
-                    f"council_size {cfg.council.council_size} for "
-                    "--member all (the member axis is what shards)")
-            translator = MemberShardedTranslator(
-                cfg, make_member_mesh(data_parallel))
-        else:
-            from councilx.parallel.mesh import make_mesh
-            translator = ShardedTranslator(cfg, make_mesh(data_parallel),
-                                           quant_stats=quant_stats)
+    if member_parallel > 1 and not all_members:
+        raise SystemExit("--member_parallel shards the council axis — it "
+                         "requires --member all")
+    if member_parallel > 1 or (data_parallel > 1 and all_members):
+        # ensemble serving shards the MEMBER axis (GSPMD cannot split the
+        # vmapped council axis; shard_map path, see MemberShardedTranslator)
+        # — council-8 at per-chip memory of council/shards members. With
+        # BOTH flags the mesh is 2-D ('data','council'): batch shards too
+        # (data_parallel * member_parallel devices, pod-scale serving).
+        from councilx.parallel.mesh import make_member_mesh
+        shards = member_parallel if member_parallel > 1 else data_parallel
+        dp = data_parallel if member_parallel > 1 else 1
+        if cfg.council.council_size % shards:
+            raise SystemExit(
+                f"member shards {shards} must divide "
+                f"council_size {cfg.council.council_size}")
+        translator = MemberShardedTranslator(
+            cfg, make_member_mesh(shards, data_parallel=max(1, dp)))
+    elif data_parallel > 1:
+        from councilx.parallel.mesh import make_mesh
+        translator = ShardedTranslator(cfg, make_mesh(data_parallel),
+                                       quant_stats=quant_stats)
     else:
         translator = Translator(cfg, quant_stats=quant_stats)
     stacked = load_generator_params(checkpoint, cfg, direction)
@@ -225,6 +230,11 @@ def main():
                    help="shard serving over this many devices: the BATCH "
                         "axis for a single member, the MEMBER axis with "
                         "--member all (must divide council_size)")
+    p.add_argument("--member_parallel", type=int, default=0,
+                   help="with --member all: shard the council axis over "
+                        "this many devices explicitly; combine with "
+                        "--data_parallel D for a 2-D (D x K) mesh that "
+                        "shards the batch too (D*K devices)")
     p.add_argument("--no_warmup", action="store_true")
     p.add_argument("--quant", default=None,
                    choices=["none", "w8a8", "w8a8_static"],
@@ -242,7 +252,8 @@ def main():
     engine = build_engine(cfg, args.checkpoint, args.member, args.direction,
                           args.max_batch, args.max_delay_ms,
                           args.data_parallel, warmup=not args.no_warmup,
-                          calibration=args.calibration)
+                          calibration=args.calibration,
+                          member_parallel=args.member_parallel)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(engine, cfg))
     print(f"serving member {args.member} on http://localhost:{args.port} "

@@ -635,3 +635,75 @@ class TestServeHTTPMemberSharded:
         _, _, a = _post(member_server, "/translate?seed=7", raw)
         _, _, b = _post(member_server, "/translate?seed=7", raw)
         assert a == b
+
+
+class TestMemberDataSharded2D:
+    """2-D ('data','council') ensemble serving: members AND batch sharded
+    (pod-scale; e.g. council-8 over 16 chips = 8 member x 2 batch shards)."""
+
+    def test_2d_matches_single_device(self, rng):
+        from councilx.inference.translate import MemberShardedTranslator
+        from councilx.inference.translate import Translator
+        from councilx.parallel.mesh import make_member_mesh
+
+        cfg = tiny_config(council={"council_size": 4, "council_w": 0.2})
+        tr1 = Translator(cfg)
+        dummy = np.zeros((1, 32, 32, 3), np.float32)
+        stacked = jax.vmap(tr1.gen.init, in_axes=(0, None))(
+            jax.random.split(jax.random.PRNGKey(0), 4), dummy)["params"]
+        x = rng.randint(0, 256, (4, 32, 32, 3)).astype(np.uint8)
+        z = rng.randn(4, cfg.gen.style_dim).astype(np.float32)
+        want = np.asarray(tr1.translate_all_u8io_device(stacked, x, z))
+        trm = MemberShardedTranslator(
+            cfg, make_member_mesh(4, data_parallel=2))   # 8 devices
+        got = np.asarray(trm.translate_all_u8io_device(
+            trm.place_params(stacked), x, z))
+        np.testing.assert_array_equal(got, want)
+
+    def test_2d_engine_bucket_multiple_and_serve(self, rng):
+        from councilx.inference.server import BatchingEngine
+        from councilx.inference.translate import MemberShardedTranslator
+        from councilx.parallel.mesh import make_member_mesh
+
+        cfg = tiny_config(council={"council_size": 2, "council_w": 0.2})
+        from councilx.inference.translate import Translator
+        tr1 = Translator(cfg)
+        dummy = np.zeros((1, 32, 32, 3), np.float32)
+        stacked = jax.vmap(tr1.gen.init, in_axes=(0, None))(
+            jax.random.split(jax.random.PRNGKey(0), 2), dummy)["params"]
+        trm = MemberShardedTranslator(
+            cfg, make_member_mesh(2, data_parallel=2))
+        engine = BatchingEngine(trm, stacked, image_hw=(32, 32),
+                                max_batch=4, max_delay_ms=1.0,
+                                all_members=True)
+        # batch buckets snap to multiples of the data-axis size
+        assert engine.buckets == [2, 4]
+        engine.start()
+        try:
+            x = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+            z = engine.make_z(3)
+            got = engine.translate_sync(x, z=z)
+            want = np.asarray(tr1.translate_all_u8io_device(
+                stacked, np.stack([x, x]),
+                np.stack([z, z])))[:, 0]   # engine pads to bucket 2
+            np.testing.assert_array_equal(got, want)
+        finally:
+            engine.stop()
+
+    def test_2d_batch_divisibility_enforced(self, rng):
+        from councilx.inference.translate import MemberShardedTranslator
+        from councilx.parallel.mesh import make_member_mesh
+
+        cfg = tiny_config(council={"council_size": 2, "council_w": 0.2})
+        from councilx.inference.translate import Translator
+        tr1 = Translator(cfg)
+        dummy = np.zeros((1, 32, 32, 3), np.float32)
+        stacked = jax.vmap(tr1.gen.init, in_axes=(0, None))(
+            jax.random.split(jax.random.PRNGKey(0), 2), dummy)["params"]
+        trm = MemberShardedTranslator(
+            cfg, make_member_mesh(2, data_parallel=2))
+        x = rng.randint(0, 256, (3, 32, 32, 3)).astype(np.uint8)
+        with pytest.raises(ValueError, match="not divisible"):
+            trm.translate_all_u8io_device(
+                trm.place_params(stacked), x,
+                np.zeros((3, cfg.gen.style_dim), np.float32))
