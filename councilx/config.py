@@ -288,6 +288,16 @@ class Config:
     # explicit shard_map trainer (parallel/council_shard.py). num_devices
     # must be divisible by it; the rest is the data axis.
     council_parallel: int = 1
+    # order-fixed cross-'data' reductions in the shard_map trainer: replace
+    # psum/pmean over 'data' with all_gather + a chained axis-index-order
+    # sum. Ships OFF as a documented experiment: the measured finding
+    # (tests/test_multihost.py::test_two_process_det_reduction) is that
+    # reduction order is NOT what separates multi-process from
+    # single-process training — per-topology executables differ in local
+    # numerics and Adam amplifies that to ±lr sign flips on near-zero-grad
+    # coords either way. Same-topology runs are already bit-reproducible.
+    # Costs data_axis x the gradient bytes per step.
+    det_data_reduction: bool = False
     # rematerialize per-member generator forwards in the backward pass
     # (jax.checkpoint): ~1/3 more gen FLOPs for a large activation-memory
     # cut — enables bigger per-chip batches at 256px
@@ -304,6 +314,15 @@ class Config:
     # backward holds at most one chunk's activations — the single-chip
     # council-8 enabler. 1 = off; must divide council_size.
     gen_member_chunks: int = 1
+    # production guard: if ANY gradient coordinate of an update phase
+    # (council-dis / dis / gen) is non-finite, that phase's params and
+    # optimizer state keep their previous values for the step instead of
+    # absorbing inf/NaN — a poisoned batch cannot blow up a long run. A
+    # traced select inside the jit (no host sync); per-phase gate, logged
+    # as metrics finite_{cdis,dis,gen} (1.0 = applied). The step counter
+    # and rng still advance. Off by default: exact reference semantics
+    # apply every update.
+    skip_nonfinite_updates: bool = False
     # one style draw per direction per step, shared by the discriminator
     # fakes and the generator update (lets XLA CSE one full council forward
     # per step). False = independent draws for the discriminator fakes vs

@@ -28,7 +28,14 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 4, drop_last: bool = True,
                  infinite: bool = True, seed: int = 0, prefetch: int = 4,
-                 shard_index: int = 0, shard_count: int = 1):
+                 shard_index: int = 0, shard_count: int = 1,
+                 start_batch: int = 0):
+        # start_batch > 0 = resume fast-forward: the index stream is
+        # deterministic (fixed seed), so a resumed run would otherwise
+        # REPLAY the batches the checkpointed run already consumed. Skipping
+        # is index arithmetic only (whole epochs cost one permutation draw
+        # each, no decode), so the resumed stream continues exactly where
+        # the original left off.
         # shard_count > 1 = multi-host input partitioning (SURVEY.md §5.8):
         # every process draws the SAME shuffled index stream (same seed) and
         # takes its own disjoint batch_size-row slice of each global batch
@@ -55,6 +62,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.shard_index = shard_index
         self.shard_count = shard_count
+        self.start_batch = int(start_batch)
         # native C++ decode path (councilx/data/native): used when the
         # dataset is a plain image folder at new_size with no crop override;
         # PIL thread pool remains the fallback (and the parity path)
@@ -80,12 +88,20 @@ class DataLoader:
         rng = np.random.RandomState(self.seed)
         gbs = self.batch_size * self.shard_count
         off = self.shard_index * self.batch_size
+        skip = self.start_batch
         while True:
             idx = np.arange(len(self.dataset))
             if self.shuffle:
                 idx = rng.permutation(idx)
             lim = (len(idx) // gbs * gbs if self.drop_last else len(idx))
+            per_epoch = -(-lim // gbs) if lim else 0
+            if skip >= per_epoch and self.infinite and per_epoch:
+                skip -= per_epoch  # skip the whole epoch; keep rng in sync
+                continue
             for s in range(0, lim, gbs):
+                if skip:
+                    skip -= 1
+                    continue
                 yield idx[s + off:s + off + self.batch_size]
             if not self.infinite:
                 return
@@ -136,7 +152,7 @@ class DataLoader:
 def get_all_data_loaders(cfg: Config, synthetic: bool = False,
                          synthetic_size: int = 64,
                          batch_size: int = None, shard_index: int = 0,
-                         shard_count: int = 1):
+                         shard_count: int = 1, start_batch: int = 0):
     """Reference: utils.py::get_all_data_loaders -> (train_a, train_b,
     test_a, test_b).
 
@@ -182,7 +198,10 @@ def get_all_data_loaders(cfg: Config, synthetic: bool = False,
                           num_workers=d.num_workers, infinite=train,
                           seed=0 if train else 1,
                           shard_index=shard_index if train else 0,
-                          shard_count=shard_count if train else 1)
+                          shard_count=shard_count if train else 1,
+                          # resume fast-forward: continue the deterministic
+                          # train stream where the checkpointed run stopped
+                          start_batch=start_batch if train else 0)
 
     return (make("trainA", True), make("trainB", True),
             make("testA", False), make("testB", False))

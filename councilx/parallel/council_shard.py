@@ -42,6 +42,29 @@ from councilx.losses.council import council_dis_loss
 from councilx.train.trainer import CouncilTrainer, TrainState
 
 
+def det_pmean(x, axis: str):
+    """Mean over mesh axis ``axis`` with a topology-independent summation
+    order: all_gather the per-shard values (pure data movement, no
+    arithmetic) and sum them in an explicit axis-index chain. The closing
+    pmax re-types the (identical) per-shard results as axis-invariant for
+    the VMA checker — all_gather outputs stay typed varying — and max over
+    equal floats is exact in any reduction order, unlike sum.
+
+    Measured caveat (tests/test_multihost.py::test_two_process_det_reduction):
+    this removes the reduction-ORDER divergence between process layouts,
+    but does NOT make cross-topology training equal — the per-topology
+    executables already differ in shard-local numerics, which Adam
+    amplifies to ±lr sign flips on near-zero-gradient coords. Ships as an
+    off-by-default experiment; costs ``axis_size`` x the bytes of a psum.
+    """
+    k = jax.lax.axis_size(axis)
+    g = jax.lax.all_gather(x, axis)  # (k, ...) in axis-index order
+    s = g[0]
+    for i in range(1, k):
+        s = s + g[i]
+    return jax.lax.pmax(s / k, axis)
+
+
 class CouncilShardTrainer(CouncilTrainer):
     """CouncilTrainer with members sharded over the mesh's 'council' axis."""
 
@@ -56,6 +79,7 @@ class CouncilShardTrainer(CouncilTrainer):
             raise ValueError(f"council_size {self.n} not divisible by "
                              f"council axis {self.k}")
         self.m = self.n // self.k
+        self.det_reduce = bool(getattr(cfg, "det_data_reduction", False))
         self._replicated = NamedSharding(mesh, P())
         self._state_sharding = None
         self._jit_step_fn = None
@@ -104,6 +128,46 @@ class CouncilShardTrainer(CouncilTrainer):
             self._build(state_host)
         return jax.jit(lambda s: s,
                        out_shardings=self._state_sharding)(state_host)
+
+    # -- cross-'data' reductions ------------------------------------------
+
+    def _vg_data(self, local_loss_fn, tree, has_aux: bool = False):
+        """value_and_grad of a loss over 'data'-replicated params, with the
+        cross-'data' reduction made explicit.
+
+        ``local_loss_fn(tree)`` must return the SHARD-LOCAL loss (no 'data'
+        collectives inside). Default mode reproduces pmean-over-'data' +
+        the VMA-inserted psum of replicated-param gradients — the fast
+        psum path. ``det_data_reduction`` instead computes purely local
+        gradients (params pcast to 'data'-varying so jax.grad inserts no
+        psum) and reduces them with det_pmean's fixed-order chain:
+        bitwise-identical results on any process layout of the mesh.
+        """
+        if not self.det_reduce:
+            if has_aux:
+                def wrapped(t):
+                    loss, aux = local_loss_fn(t)
+                    return jax.lax.pmean(loss, "data"), aux
+            else:
+                def wrapped(t):
+                    return jax.lax.pmean(local_loss_fn(t), "data")
+            return jax.value_and_grad(wrapped, has_aux=has_aux)(tree)
+        tree_v = jax.tree_util.tree_map(
+            lambda x: jax.lax.pcast(x, "data", to="varying"), tree)
+        out, grads = jax.value_and_grad(
+            local_loss_fn, has_aux=has_aux)(tree_v)
+        grads = jax.tree_util.tree_map(
+            lambda g: det_pmean(g, "data"), grads)
+        if has_aux:
+            loss, aux = out
+            return (det_pmean(loss, "data"), aux), grads
+        return det_pmean(out, "data"), grads
+
+    def _pmean_data(self, v):
+        """'data'-mean for metrics: order-fixed under det_data_reduction."""
+        if self.det_reduce:
+            return det_pmean(v, "data")
+        return jax.lax.pmean(v, "data")
 
     # -- the shard-local step -------------------------------------------
 
@@ -174,19 +238,20 @@ class CouncilShardTrainer(CouncilTrainer):
                             inputs[d][0], self.gan_type, self.conditional,
                             dis_offset=off, n_total=n, scan=cfg.remat,
                             polarity=cfg.council.council_polarity)
-                    return jax.lax.pmean(loss, "data")
+                    return loss
 
-                loss, grads = jax.value_and_grad(cdis_loss_fn)(tree)
-                updates, opt = self.cdis_tx.update(grads, opt, tree)
-                return optax.apply_updates(tree, updates), opt, loss
+                loss, grads = self._vg_data(cdis_loss_fn, tree)
+                new_tree, opt, ok = self._apply_if_finite(
+                    tree, grads, self.cdis_tx, opt, axis="council")
+                return new_tree, opt, loss, ok
 
             ratio = max(1, cfg.council.council_dis_relative_iteration)
             tree = {d: params[d]["cdis"] for d in self.directions}
             if ratio == 1:
-                tree, opt_cdis, loss_cdis = one_cdis_update(
+                tree, opt_cdis, loss_cdis, ok_cdis = one_cdis_update(
                     tree, opt_cdis, fakes_cdis_all)
             elif cfg.council.cdis_ratio_mode == "k_per_step":
-                tree, opt_cdis, loss_cdis = one_cdis_update(
+                tree, opt_cdis, loss_cdis, ok_cdis = one_cdis_update(
                     tree, opt_cdis, fakes_cdis_all)
                 for it in range(1, ratio):
                     fakes_i: Dict[str, jnp.ndarray] = {}
@@ -204,8 +269,9 @@ class CouncilShardTrainer(CouncilTrainer):
                         fakes_i[d] = jax.lax.all_gather(
                             jax.lax.stop_gradient(x_t), "council",
                             axis=0, tiled=True)
-                    tree, opt_cdis, loss_cdis = one_cdis_update(
+                    tree, opt_cdis, loss_cdis, ok_i = one_cdis_update(
                         tree, opt_cdis, fakes_i)
+                    ok_cdis = ok_cdis * ok_i
             else:  # "every_kth" (round-1 semantics), traced gate
                 def run(args):
                     return one_cdis_update(*args, fakes_cdis_all)
@@ -213,11 +279,15 @@ class CouncilShardTrainer(CouncilTrainer):
                 def skip(args):
                     t, o = args
                     # run's loss is council-varying (per-local-member sums);
-                    # match its VMA type so lax.cond branches agree
-                    return t, o, jax.lax.pcast(jnp.zeros((), jnp.float32),
-                                               "council", to="varying")
+                    # match its VMA type so lax.cond branches agree. The ok
+                    # flag is invariant in both branches (run pmins it over
+                    # 'council').
+                    return (t, o,
+                            jax.lax.pcast(jnp.zeros((), jnp.float32),
+                                          "council", to="varying"),
+                            jnp.ones((), jnp.float32))
 
-                tree, opt_cdis, loss_cdis = jax.lax.cond(
+                tree, opt_cdis, loss_cdis, ok_cdis = jax.lax.cond(
                     state.step % ratio == 0, run, skip, (tree, opt_cdis))
                 # mirror trainer._step: flag skipped steps so the logger
                 # masks the placeholder zero (replicated value — derived
@@ -227,6 +297,8 @@ class CouncilShardTrainer(CouncilTrainer):
             for d in self.directions:
                 params[d]["cdis"] = tree[d]
             metrics["loss_dis_council"] = jax.lax.psum(loss_cdis, "council")
+            if cfg.skip_nonfinite_updates:
+                metrics["finite_cdis"] = ok_cdis
 
         # ---- phase 2: domain discriminators (fully member-local)
         def dis_loss_fn(tree):
@@ -235,15 +307,17 @@ class CouncilShardTrainer(CouncilTrainer):
                 _, real = inputs[d]
                 loss += self._dis_loss_dir(tree[d], fakes_l[d], real,
                                            state.step)
-            return jax.lax.pmean(loss, "data")
+            return loss
 
         tree = {d: params[d]["dis"] for d in self.directions}
-        loss_dis, grads = jax.value_and_grad(dis_loss_fn)(tree)
-        updates, opt_dis = self.dis_tx.update(grads, state.opt_dis, tree)
-        new_tree = optax.apply_updates(tree, updates)
+        loss_dis, grads = self._vg_data(dis_loss_fn, tree)
+        new_tree, opt_dis, ok_dis = self._apply_if_finite(
+            tree, grads, self.dis_tx, state.opt_dis, axis="council")
         for d in self.directions:
             params[d]["dis"] = new_tree[d]
         metrics["loss_dis_adv"] = jax.lax.psum(loss_dis, "council")
+        if cfg.skip_nonfinite_updates:
+            metrics["finite_dis"] = ok_dis
 
         # ---- phase 3: generators. The agreement term scores local members
         # under EVERY member's (freshly updated) council discriminator ->
@@ -267,18 +341,20 @@ class CouncilShardTrainer(CouncilTrainer):
                 loss += ld
                 for k, v in md.items():
                     aux[f"{k}_{d}"] = v
-            return jax.lax.pmean(loss, "data"), aux
+            return loss, aux
 
         tree = {d: params[d]["gen"] for d in self.directions}
-        (loss_gen, aux), grads = jax.value_and_grad(
-            gen_loss_fn, has_aux=True)(tree)
-        updates, opt_gen = self.gen_tx.update(grads, state.opt_gen, tree)
-        new_tree = optax.apply_updates(tree, updates)
+        (loss_gen, aux), grads = self._vg_data(
+            gen_loss_fn, tree, has_aux=True)
+        new_tree, opt_gen, ok_gen = self._apply_if_finite(
+            tree, grads, self.gen_tx, state.opt_gen, axis="council")
         for d in self.directions:
             params[d]["gen"] = new_tree[d]
         metrics["loss_gen_total"] = jax.lax.psum(loss_gen, "council")
+        if cfg.skip_nonfinite_updates:
+            metrics["finite_gen"] = ok_gen
         for k, v in aux.items():
-            metrics[k] = jax.lax.psum(jax.lax.pmean(v, "data"), "council")
+            metrics[k] = jax.lax.psum(self._pmean_data(v), "council")
 
         new_state = TrainState(
             step=state.step + 1, rng=rng, params=params,

@@ -38,11 +38,14 @@ from councilx.train.trainer import CouncilTrainer, TrainState
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None,
-              council_parallel: int = 1) -> Mesh:
+              council_parallel: int = 1, always_2d: bool = False) -> Mesh:
     """Mesh over the first ``n_devices`` devices.
 
     council_parallel=1 -> 1-D ('data',) mesh; k>1 -> 2-D ('data','council')
-    mesh with the council axis of size k."""
+    mesh with the council axis of size k. ``always_2d`` forces the 2-D
+    shape even at k=1 (a degenerate council axis) — used to run the
+    shard_map trainer for pure data parallelism, e.g. under
+    ``det_data_reduction``."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
@@ -50,8 +53,9 @@ def make_mesh(n_devices: Optional[int] = None, devices=None,
             raise ValueError(f"need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
     devices = np.asarray(devices)
-    if council_parallel <= 1:
+    if council_parallel <= 1 and not always_2d:
         return Mesh(devices, axis_names=("data",))
+    council_parallel = max(1, council_parallel)
     if devices.size % council_parallel:
         raise ValueError(f"{devices.size} devices not divisible by "
                          f"council_parallel={council_parallel}")

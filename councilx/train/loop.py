@@ -34,13 +34,22 @@ def make_trainer(cfg: Config) -> CouncilTrainer:
     """Build the right trainer for the config's mesh settings:
     num_devices == 1 -> single-device CouncilTrainer; > 1 -> GSPMD
     data-parallel; council_parallel > 1 -> the explicit shard_map
-    ('data','council') trainer."""
+    ('data','council') trainer. det_data_reduction needs explicit
+    collectives, so it routes pure data-parallel onto the shard_map
+    trainer with a degenerate council axis of 1 (GSPMD's implicit
+    all-reduces have no order knob)."""
     if cfg.num_devices <= 1:
         return CouncilTrainer(cfg)
     from councilx.parallel.mesh import DataParallelTrainer, make_mesh
-    mesh = make_mesh(cfg.num_devices,
-                     council_parallel=cfg.council_parallel)
-    if cfg.council_parallel > 1:
+    council = cfg.council_parallel
+    if council <= 1 and cfg.det_data_reduction:
+        council = 1
+        from councilx.parallel.council_shard import CouncilShardTrainer
+        return CouncilShardTrainer(
+            cfg, make_mesh(cfg.num_devices, council_parallel=council,
+                           always_2d=True))
+    mesh = make_mesh(cfg.num_devices, council_parallel=council)
+    if council > 1:
         from councilx.parallel.council_shard import CouncilShardTrainer
         return CouncilShardTrainer(cfg, mesh)
     return DataParallelTrainer(cfg, mesh)
@@ -123,7 +132,11 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
     local_bs = multihost.local_batch_size(cfg.batch_size)
     train_a, train_b, test_a, test_b = get_all_data_loaders(
         cfg, synthetic=synthetic, batch_size=local_bs,
-        shard_index=jax.process_index(), shard_count=n_proc)
+        shard_index=jax.process_index(), shard_count=n_proc,
+        # the train index streams are deterministic — fast-forward them to
+        # the resumed step so the run continues the data order instead of
+        # replaying already-consumed batches
+        start_batch=start_step)
     # fixed display batches (reference: display_size samples)
     disp_n = min(cfg.display_size, local_bs)
     disp_a = next(iter(test_a))[:disp_n]

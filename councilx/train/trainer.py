@@ -362,6 +362,34 @@ class CouncilTrainer:
     # the fused step
     # ------------------------------------------------------------------
 
+    def _apply_if_finite(self, tree, grads, tx, opt, axis=None):
+        """One optimizer phase, guarded by cfg.skip_nonfinite_updates.
+
+        Returns (new_tree, new_opt, ok). With the guard on and ANY
+        non-finite gradient coordinate, params and optimizer state keep
+        their previous values (traced jnp.where select — no host sync)
+        and ok is 0.0; a poisoned batch then cannot blow up a long run.
+        ``axis``: mesh axis name whose shards hold disjoint member
+        gradients — the gate reduces over it (pmin) so one member's
+        blow-up skips the phase GLOBALLY, matching single-chip semantics.
+        Guard off: plain optax update, ok constant 1.0."""
+        updates, opt_new = tx.update(grads, opt, tree)
+        new_tree = optax.apply_updates(tree, updates)
+        if not self.cfg.skip_nonfinite_updates:
+            return new_tree, opt_new, jnp.ones((), jnp.float32)
+        ok = jnp.ones((), jnp.bool_)
+        for leaf in jax.tree_util.tree_leaves(grads):
+            ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(leaf)))
+        if axis is not None:
+            ok = jax.lax.pmin(ok.astype(jnp.int32), axis).astype(jnp.bool_)
+
+        def sel(a, b):
+            return jnp.where(ok, a, b)
+
+        new_tree = jax.tree_util.tree_map(sel, new_tree, tree)
+        opt_new = jax.tree_util.tree_map(sel, opt_new, opt)
+        return new_tree, opt_new, ok.astype(jnp.float32)
+
     def _step(self, state: TrainState, x_a: jnp.ndarray, x_b: jnp.ndarray,
               do_cdis: bool):
         cfg = self.cfg
@@ -423,17 +451,18 @@ class CouncilTrainer:
                     return loss
 
                 loss, grads = jax.value_and_grad(cdis_loss_fn)(tree)
-                updates, opt = self.cdis_tx.update(grads, opt, tree)
-                return optax.apply_updates(tree, updates), opt, loss
+                new_tree, opt, ok = self._apply_if_finite(
+                    tree, grads, self.cdis_tx, opt)
+                return new_tree, opt, loss, ok
 
             ratio = max(1, cfg.council.council_dis_relative_iteration)
             tree = {d: params[d]["cdis"] for d in self.directions}
             if ratio == 1:
-                tree, opt_cdis, loss_cdis = one_cdis_update(tree, opt_cdis,
-                                                            fakes_cdis)
+                tree, opt_cdis, loss_cdis, ok_cdis = one_cdis_update(
+                    tree, opt_cdis, fakes_cdis)
             elif cfg.council.cdis_ratio_mode == "k_per_step":
-                tree, opt_cdis, loss_cdis = one_cdis_update(tree, opt_cdis,
-                                                            fakes_cdis)
+                tree, opt_cdis, loss_cdis, ok_cdis = one_cdis_update(
+                    tree, opt_cdis, fakes_cdis)
                 for it in range(1, ratio):
                     fakes_i: Dict[str, jnp.ndarray] = {}
                     for di, d in enumerate(self.directions):
@@ -443,17 +472,19 @@ class CouncilTrainer:
                         x_t, _, _ = self._translate_members(
                             params[d]["gen"], inputs[d][0], z_i)
                         fakes_i[d] = jax.lax.stop_gradient(x_t)
-                    tree, opt_cdis, loss_cdis = one_cdis_update(
+                    tree, opt_cdis, loss_cdis, ok_i = one_cdis_update(
                         tree, opt_cdis, fakes_i)
+                    ok_cdis = ok_cdis * ok_i
             else:  # "every_kth" (round-1 semantics), traced gate
                 def run(args):
                     return one_cdis_update(*args, fakes_cdis)
 
                 def skip(args):
                     t, o = args
-                    return t, o, jnp.zeros((), jnp.float32)
+                    return (t, o, jnp.zeros((), jnp.float32),
+                            jnp.ones((), jnp.float32))
 
-                tree, opt_cdis, loss_cdis = jax.lax.cond(
+                tree, opt_cdis, loss_cdis, ok_cdis = jax.lax.cond(
                     state.step % ratio == 0, run, skip, (tree, opt_cdis))
                 # skipped steps produce no real loss — flag them so the
                 # logger can mask the placeholder instead of writing a
@@ -463,6 +494,8 @@ class CouncilTrainer:
             for d in self.directions:
                 params[d]["cdis"] = tree[d]
             metrics["loss_dis_council"] = loss_cdis
+            if cfg.skip_nonfinite_updates:
+                metrics["finite_cdis"] = ok_cdis
 
         # ---- phase 2: domain discriminators (reference dis_update)
         def dis_loss_fn(tree):
@@ -475,11 +508,13 @@ class CouncilTrainer:
 
         tree = {d: params[d]["dis"] for d in self.directions}
         loss_dis, grads = jax.value_and_grad(dis_loss_fn)(tree)
-        updates, opt_dis = self.dis_tx.update(grads, state.opt_dis, tree)
-        new_tree = optax.apply_updates(tree, updates)
+        new_tree, opt_dis, ok_dis = self._apply_if_finite(
+            tree, grads, self.dis_tx, state.opt_dis)
         for d in self.directions:
             params[d]["dis"] = new_tree[d]
         metrics["loss_dis_adv"] = loss_dis
+        if cfg.skip_nonfinite_updates:
+            metrics["finite_dis"] = ok_dis
 
         # ---- phase 3: generators (reference gen_update), seeing the freshly
         # updated discriminators, exactly like the reference's in-place order
@@ -504,12 +539,14 @@ class CouncilTrainer:
 
             (loss_gen, aux), grads = jax.value_and_grad(
                 gen_loss_fn, has_aux=True)(tree)
-        updates, opt_gen = self.gen_tx.update(grads, state.opt_gen, tree)
-        new_tree = optax.apply_updates(tree, updates)
+        new_tree, opt_gen, ok_gen = self._apply_if_finite(
+            tree, grads, self.gen_tx, state.opt_gen)
         for d in self.directions:
             params[d]["gen"] = new_tree[d]
         metrics["loss_gen_total"] = loss_gen
         metrics.update(aux)
+        if cfg.skip_nonfinite_updates:
+            metrics["finite_gen"] = ok_gen
 
         new_state = TrainState(
             step=state.step + 1, rng=rng, params=params,

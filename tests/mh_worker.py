@@ -5,7 +5,11 @@ Runs as one of ``num_processes`` real OS processes, each with
 8-device ('data','council') mesh the single-process baseline uses, so the
 trained parameters must match.
 
-usage: python tests/mh_worker.py <process_id> <num_processes> <port> <out.npz>
+usage: python tests/mh_worker.py <process_id> <num_processes> <port> <out.npz> [det]
+
+The optional 5th arg "det" turns on cfg.det_data_reduction (order-fixed
+cross-'data' reductions) — the mode under which the trained parameters are
+asserted BITWISE equal to the single-process run.
 """
 
 import os
@@ -15,6 +19,7 @@ import sys
 def main():
     pid, nproc, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                   sys.argv[3], sys.argv[4])
+    det = len(sys.argv) > 5 and sys.argv[5] == "det"
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={8 // nproc}")
     import jax
@@ -36,6 +41,8 @@ def main():
                                              make_global_batch)
 
     cfg = tiny_config(batch_size=4)
+    if det:
+        cfg.det_data_reduction = True
     mesh = make_mesh(8, council_parallel=2)
     trainer = CouncilShardTrainer(cfg, mesh)
     state = trainer.init_state(jax.random.PRNGKey(0))

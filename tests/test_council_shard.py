@@ -172,6 +172,71 @@ def test_council_shard_ratio2_matches_single_device(rng, mode):
         assert worst < 1e-3, (mode, grp, worst)
 
 
+def test_council_shard_det_reduction_matches(rng):
+    """det_data_reduction replaces the cross-'data' psum/pmean with an
+    order-fixed all_gather + chained sum; it must change only the
+    reduction ORDER. One step must match the single-chip trainer to the
+    same tolerance as the default path, the replicated metrics must agree,
+    and the 'data'-axis param replicas must stay bitwise identical.
+    (The cross-process-topology BITWISE claim this mode exists for is
+    asserted by tests/test_multihost.py::test_two_process_bitexact_det.)"""
+    cfg = tiny_config(batch_size=8, det_data_reduction=True)
+    x_a, x_b = synthetic_batch(rng, b=8)
+
+    single = CouncilTrainer(tiny_config(batch_size=8))
+    s_state = single.init_state(jax.random.PRNGKey(0))
+    s_state, s_metrics = single.train_step(s_state, x_a, x_b)
+
+    mesh = make_mesh(8, council_parallel=2)
+    cp = CouncilShardTrainer(cfg, mesh)
+    assert cp.det_reduce
+    c_state = cp.init_state(jax.random.PRNGKey(0))
+    c_state, c_metrics = cp.train_step(c_state, x_a, x_b)
+
+    for k in s_metrics:
+        np.testing.assert_allclose(float(s_metrics[k]), float(c_metrics[k]),
+                                   rtol=2e-3, atol=1e-4, err_msg=k)
+    for grp in ("gen", "dis", "cdis"):
+        sl = jax.tree_util.tree_leaves(s_state.params["a2b"][grp])
+        cl = jax.tree_util.tree_leaves(c_state.params["a2b"][grp])
+        worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(sl, cl))
+        assert worst < 5e-4, (grp, worst)
+    assert_data_replicas_identical(c_state.params)
+
+
+def test_det_reduction_pure_data_parallel(rng):
+    """det_data_reduction with council_parallel=1 routes make_trainer onto
+    the shard_map trainer over a degenerate ('data',8)x('council',1) mesh —
+    pure data parallelism with order-fixed reductions (GSPMD's implicit
+    all-reduces have no order knob). One step must match the single-chip
+    trainer to the usual tolerance."""
+    from councilx.train.loop import make_trainer
+
+    cfg = tiny_config(batch_size=8, det_data_reduction=True, num_devices=8)
+    cp = make_trainer(cfg)
+    assert isinstance(cp, CouncilShardTrainer)
+    assert cp.k == 1 and cp.det_reduce
+    assert cp.mesh.shape == {"data": 8, "council": 1}
+
+    x_a, x_b = synthetic_batch(rng, b=8)
+    single = CouncilTrainer(tiny_config(batch_size=8))
+    s_state = single.init_state(jax.random.PRNGKey(0))
+    s_state, s_metrics = single.train_step(s_state, x_a, x_b)
+
+    c_state = cp.init_state(jax.random.PRNGKey(0))
+    c_state, c_metrics = cp.train_step(c_state, x_a, x_b)
+
+    for k in s_metrics:
+        np.testing.assert_allclose(float(s_metrics[k]), float(c_metrics[k]),
+                                   rtol=2e-3, atol=1e-4, err_msg=k)
+    for grp in ("gen", "dis", "cdis"):
+        sl = jax.tree_util.tree_leaves(s_state.params["a2b"][grp])
+        cl = jax.tree_util.tree_leaves(c_state.params["a2b"][grp])
+        worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(sl, cl))
+        assert worst < 5e-4, (grp, worst)
+    assert_data_replicas_identical(c_state.params)
+
+
 def test_council_shard_full_width(rng):
     """council axis == council size (one member per shard group)."""
     cfg = tiny_config(batch_size=8)  # council_size=2 in tiny_config

@@ -76,6 +76,48 @@ def test_loader_infinite_stream():
     assert all(s == (2, 16, 16, 3) for s in shapes)
 
 
+def test_loader_start_batch_resumes_stream():
+    """Resume fast-forward: a loader built with start_batch=k must continue
+    the deterministic index stream exactly where a fresh loader's k-th batch
+    ends — including across epoch boundaries (whole skipped epochs still
+    draw their permutation so the rng stays in sync)."""
+    ds = SyntheticImageDataset(10, new_size=8)  # 5 batches/epoch at bs=2
+    fresh = DataLoader(ds, batch_size=2, infinite=True, seed=3)
+    reference = [b.copy() for _, b in zip(range(14), iter(fresh))]
+    for k in (1, 4, 5, 12):  # mid-epoch, boundary, whole-epoch, multi-epoch
+        resumed = DataLoader(ds, batch_size=2, infinite=True, seed=3,
+                             start_batch=k)
+        got = [b for _, b in zip(range(14 - k), iter(resumed))]
+        for a, b in zip(reference[k:], got):
+            np.testing.assert_array_equal(a, b, err_msg=f"start_batch={k}")
+
+
+def test_loader_start_batch_sharded_disjoint():
+    """start_batch composes with multi-host sharding: both shards skip the
+    same GLOBAL batches and their resumed slices stay disjoint rows of the
+    same global batch."""
+    ds = SyntheticImageDataset(12, new_size=8)
+
+    def first_idx(shard, start):
+        dl = DataLoader(ds, batch_size=2, infinite=True, seed=0,
+                        shard_index=shard, shard_count=2, start_batch=start)
+        it = dl._index_stream()
+        return next(it)
+
+    def nth_idx(shard, n):
+        dl = DataLoader(ds, batch_size=2, infinite=True, seed=0,
+                        shard_index=shard, shard_count=2)
+        it = dl._index_stream()
+        for _ in range(n):
+            next(it)
+        return next(it)
+
+    got0, got1 = first_idx(0, 3), first_idx(1, 3)
+    np.testing.assert_array_equal(got0, nth_idx(0, 3))
+    np.testing.assert_array_equal(got1, nth_idx(1, 3))
+    assert not set(got0.tolist()) & set(got1.tolist())
+
+
 def test_get_all_data_loaders_synthetic():
     cfg = Config.from_dict({"batch_size": 2,
                             "new_size": 20,

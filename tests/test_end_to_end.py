@@ -51,6 +51,36 @@ def test_resume_continues(trained_run):
     assert summary["step"] == 6
 
 
+def test_resume_bitwise_continuation(tmp_path):
+    """An interrupted-and-resumed run must be BITWISE equal to an
+    uninterrupted one: 2 steps + resume(2) == 4 continuous steps. This
+    holds because state (params/opt/rng) round-trips exactly through
+    orbax, augmentation is keyed by absolute step, and the train loaders
+    fast-forward their deterministic index streams to the resumed step
+    (DataLoader start_batch) instead of replaying batches 0..k-1."""
+    cfg = load_config(SMOKE)
+    out_c, out_r = str(tmp_path / "cont"), str(tmp_path / "resm")
+    train(cfg, output_path=out_c, run_name="r", synthetic=True, max_steps=4)
+    train(cfg, output_path=out_r, run_name="r", synthetic=True, max_steps=2)
+    train(cfg, output_path=out_r, run_name="r", synthetic=True, max_steps=2,
+          resume=True)
+
+    trainer = CouncilTrainer(cfg)
+    template = trainer.init_state(jax.random.PRNGKey(0))
+    sa, step_a = restore_checkpoint(
+        os.path.join(out_c, "r", "checkpoints"), template)
+    sb, step_b = restore_checkpoint(
+        os.path.join(out_r, "r", "checkpoints"), template)
+    assert step_a == step_b == 4
+    flat_a = jax.tree_util.tree_leaves_with_path(sa.params)
+    flat_b = jax.tree_util.tree_leaves_with_path(sb.params)
+    assert len(flat_a) == len(flat_b)
+    for (pa, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"resumed run diverged at {jax.tree_util.keystr(pa)}")
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = load_config(SMOKE)
     trainer = CouncilTrainer(cfg)
