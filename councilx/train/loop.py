@@ -153,6 +153,16 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
     aug_key = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
     crop_h, crop_w = cfg.data.crop_image_height, cfg.data.crop_image_width
 
+    eval_hook = None
+    if cfg.eval_iter:
+        # in-training FID vs the test split at the eval_iter cadence
+        # (councilx/eval/hook.py); consumes fresh test loaders so the
+        # display batches above are unaffected
+        from councilx.eval.hook import TrainEvalHook
+        ev_a, ev_b = get_all_data_loaders(cfg, synthetic=synthetic,
+                                          batch_size=local_bs)[2:]
+        eval_hook = TrainEvalHook(cfg, trainer, ev_a, ev_b)
+
     limit = min(cfg.max_iter, max_steps + start_step if max_steps else
                 cfg.max_iter)
     step = start_step
@@ -229,6 +239,13 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
             metrics["images_per_sec"] = images_per_sec
             if logger is not None:
                 logger.write(step, metrics)
+
+        # in-training FID: the translate is a collective (all processes),
+        # feature extraction + the metric write happen on process 0
+        if eval_hook is not None and step % cfg.eval_iter == 0:
+            emetrics = eval_hook(trainer, state, primary=primary)
+            if logger is not None and emetrics:
+                logger.write(step, emetrics)
 
         # sampling runs on EVERY process (under multi-host it gathers
         # sharded params — a collective); only process 0 writes files
