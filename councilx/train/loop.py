@@ -70,13 +70,22 @@ def mask_skipped_metrics(metrics: Dict) -> Dict:
 def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
           resume: bool = False, synthetic: bool = False,
           max_steps: Optional[int] = None, seed: int = 0,
-          profile_steps: Optional[range] = None) -> Dict:
+          profile_steps: Optional[range] = None,
+          stop_event=None) -> Dict:
     """Run training. Returns a summary dict (final step, throughput).
 
     Multi-host: every participating process runs this same function after
     jax.distributed initialization (SURVEY.md §5.8). Each host loads its
     share of the global batch; collectives (train step, checkpoint gathers)
     run on all processes; filesystem side effects are process-0 only.
+
+    ``stop_event`` (a threading.Event): graceful shutdown — when set (e.g.
+    by train.py's SIGTERM/SIGINT handlers), the loop finishes the current
+    step, writes a final checkpoint and returns with ``interrupted=True``
+    instead of dying mid-state. Single-process only: under multi-host a
+    per-process early exit would desynchronize the collectives, so the
+    event is ignored there (preempt multi-host jobs at the
+    snapshot_save_iter cadence instead).
     """
     from councilx.parallel import multihost
 
@@ -208,7 +217,12 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
                                   thread_name_prefix="councilx-stage")
         pending = pool.submit(stage_batch, step)
 
+    interrupted = False
     while step < limit:
+        if (stop_event is not None and n_proc == 1
+                and stop_event.is_set()):
+            interrupted = True
+            break
         if pending is not None:
             x_a, x_b = pending.result()
             pending = (pool.submit(stage_batch, step + 1)
@@ -280,7 +294,8 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
     save_checkpoint(ckpt_dir, state, step)
     if logger is not None:
         logger.close()
-    return {"step": step, "images_per_sec": images_per_sec}
+    return {"step": step, "images_per_sec": images_per_sec,
+            "interrupted": interrupted}
 
 
 def _write_samples(trainer: CouncilTrainer, state, test_u8, train_u8,

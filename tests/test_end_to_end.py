@@ -156,6 +156,45 @@ def test_folder_cli_end_to_end(tmp_path):
     assert all(f.endswith(".jpg") for f in outs)
 
 
+@pytest.mark.slow
+def test_sigterm_graceful_checkpoint(tmp_path):
+    """SIGTERM to train.py finishes the current step, writes a final
+    checkpoint and exits 0 with interrupted=True — the run is then
+    --resume-able instead of dead at a random point."""
+    import signal
+    import time
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "train.py"),
+         "--config", SMOKE, "--synthetic", "--max_steps", "800",
+         "--output_path", str(tmp_path)],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    ckpt_dir = os.path.join(str(tmp_path), "smoke_tiny", "checkpoints")
+    try:
+        deadline = time.time() + 900  # compile can take minutes on CPU
+        while time.time() < deadline:
+            if latest_checkpoint(ckpt_dir):
+                break  # training is live (snapshot_save_iter=2 hit)
+            if proc.poll() is not None:
+                break
+            time.sleep(2)
+        assert proc.poll() is None, \
+            proc.communicate()[0].decode(errors="replace")[-3000:]
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    text = out.decode(errors="replace")
+    assert proc.returncode == 0, text[-3000:]
+    assert "'interrupted': True" in text, text[-2000:]
+    found = latest_checkpoint(ckpt_dir)
+    assert found, "no final checkpoint written on SIGTERM"
+    # the summary's step matches the newest snapshot
+    assert f"'step': {found[0]}" in text
+
+
 def test_convert_pt_roundtrip(tmp_path):
     """Fake reference gen_*.pt (per-member torch state dicts) -> npz ->
     Translator output matches the torch oracle."""

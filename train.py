@@ -52,10 +52,29 @@ def main():
 
     cfg = load_config(args.config)
     run_name = os.path.splitext(os.path.basename(args.config))[0]
+
+    # graceful shutdown: SIGTERM/SIGINT finish the current step, write a
+    # final checkpoint and exit 0 (the run is then --resume-able as a
+    # bitwise continuation). A second signal falls back to the default
+    # handler (hard kill). Single-process only — see train().
+    import signal
+    import threading
+    stop_event = threading.Event()
+
+    def _request_stop(signum, frame):
+        print(f"signal {signum}: finishing the current step and "
+              "checkpointing (repeat to force-kill)", flush=True)
+        stop_event.set()
+        signal.signal(signum, signal.SIG_DFL)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _request_stop)
+
     summary = train(cfg, output_path=args.output_path, run_name=run_name,
                     resume=args.resume, synthetic=args.synthetic,
                     max_steps=args.max_steps, seed=args.seed,
-                    profile_steps=range(10, 15) if args.profile else None)
+                    profile_steps=range(10, 15) if args.profile else None,
+                    stop_event=stop_event)
     print(summary)
 
 
