@@ -84,11 +84,11 @@ class DataLoader:
             n += 1
         return n
 
-    def _index_stream(self) -> Iterator[np.ndarray]:
+    def _index_stream(self, start: int = None) -> Iterator[np.ndarray]:
         rng = np.random.RandomState(self.seed)
         gbs = self.batch_size * self.shard_count
         off = self.shard_index * self.batch_size
-        skip = self.start_batch
+        skip = self.start_batch if start is None else int(start)
         while True:
             idx = np.arange(len(self.dataset))
             if self.shuffle:
@@ -105,6 +105,25 @@ class DataLoader:
                 yield idx[s + off:s + off + self.batch_size]
             if not self.infinite:
                 return
+
+    def head_rows(self, n: int) -> np.ndarray:
+        """The first ``n`` rows of the epoch-0 stream (ignoring
+        ``start_batch``), decoded synchronously — NO producer thread.
+
+        For fixtures that must not consume or race the training stream:
+        display batches and eval inputs. Unlike ``next(iter(loader))``,
+        this (a) is identical before and after a resume fast-forward, and
+        (b) leaves no abandoned producer thread blocked on a full
+        prefetch queue. Caps at one epoch of this shard's rows."""
+        n = min(n, len(self) * self.batch_size or len(self.dataset))
+        rows = []
+        stream = self._index_stream(start=0)
+        for _ in range(max(len(self), 1)):
+            for i in next(stream).tolist():
+                rows.append(self.dataset[i])
+                if len(rows) == n:
+                    return np.stack(rows)
+        return np.stack(rows)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         from concurrent.futures import ThreadPoolExecutor

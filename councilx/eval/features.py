@@ -17,6 +17,20 @@ import numpy as np
 from councilx.data.dataset import is_image_file
 
 
+def u8_to_inception_inputs(u8: np.ndarray, size: int = 299) -> np.ndarray:
+    """(B,H,W,3) uint8 -> (B,size,size,3) float32 in [-1,1], PIL bilinear —
+    the single array-level home of the pytorch-fid input convention (the
+    file-based iter_image_batches below applies the identical transform to
+    PIL images; keep the two in lockstep)."""
+    from PIL import Image
+
+    out: List[np.ndarray] = []
+    for row in np.asarray(u8):
+        img = Image.fromarray(row).resize((size, size), Image.BILINEAR)
+        out.append(np.asarray(img, dtype=np.float32) / 127.5 - 1.0)
+    return np.stack(out)
+
+
 def iter_image_batches(folder: str, batch_size: int = 32,
                        size: int = 299) -> Iterable[np.ndarray]:
     """Yield (B, size, size, 3) float32 batches in [-1, 1], PIL-resized."""

@@ -3,9 +3,16 @@ reference, which only ever inspects sample sheets by eye).
 
 ``cfg.eval_iter > 0`` translates a fixed set of test images with council
 member 0 every ``eval_iter`` steps and scores them against the target
-domain's test images with InceptionV3-pool3 FID (same protocol as
-tools/eval_checkpoint.py: 299px PIL-bilinear, Fréchet in float64), logged
-as ``fid_<direction>`` beside the loss curves in JSONL/TensorBoard.
+domain's test images with InceptionV3-pool3 features (pytorch-fid input
+convention: 299px PIL-bilinear, Fréchet in float64), logged as
+``fid_<direction>`` beside the loss curves in JSONL/TensorBoard.
+
+Protocol note: both sides are the data loader's ``new_size`` views — full
+frames, translated at ``new_size`` (the generator is fully convolutional).
+The in-training series is internally consistent and comparable ACROSS
+steps; ``tools/eval_checkpoint.py`` instead reads the ORIGINAL files for
+the target side, so compare in-training numbers to offline/paper numbers
+only when ``new_size`` matches the original resolution.
 
 Multi-host: the translate runs on every process (trainer.sample gathers
 sharded params — a collective); feature extraction + FID run on process 0
@@ -14,7 +21,7 @@ only, like all other side effects.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 
@@ -24,31 +31,22 @@ import jax.numpy as jnp
 from councilx.config import Config
 
 
-def u8_to_inception_inputs(u8: np.ndarray) -> np.ndarray:
-    """(B,H,W,3) uint8 -> (B,299,299,3) float32 in [-1,1], PIL bilinear —
-    the pytorch-fid preprocessing used across the eval stack."""
-    from PIL import Image
-
-    out: List[np.ndarray] = []
-    for row in np.asarray(u8):
-        img = Image.fromarray(row).resize((299, 299), Image.BILINEAR)
-        out.append(np.asarray(img, dtype=np.float32) / 127.5 - 1.0)
-    return np.stack(out)
-
-
 class TrainEvalHook:
     """Fixed eval inputs + cached target features; call at the eval cadence.
 
-    Built once after the data loaders: draws up to ``cfg.eval_max_images``
-    from each (finite, unsharded) test loader — identical on every host —
-    and precomputes the target-domain Inception features. Each call
-    translates with member 0 at the CURRENT params via trainer.sample and
-    returns {"fid_<dir>": value} on process 0 (empty dict elsewhere).
+    Built once after the data loaders: takes up to ``cfg.eval_max_images``
+    epoch-0 rows from each (unsharded, deterministic) test loader via
+    ``DataLoader.head_rows`` — identical on every host, no producer
+    thread, unaffected by resume fast-forward — and precomputes the
+    target-domain Inception features. Each call translates with member 0
+    at the CURRENT params via trainer.sample and returns
+    {"fid_<dir>": value} on process 0 (empty dict elsewhere).
     """
 
     def __init__(self, cfg: Config, trainer, test_a, test_b):
-        from councilx.data.ondevice import augment_batch
-        from councilx.eval.features import extract_features
+        from councilx.data.ondevice import normalize_batch
+        from councilx.eval.features import (extract_features,
+                                            u8_to_inception_inputs)
         from councilx.eval.inception import (InceptionV3Features,
                                              init_random_params,
                                              load_params_npz)
@@ -66,34 +64,24 @@ class TrainEvalHook:
                 "for smoke tests)")
         self._feat_fn = jax.jit(lambda x: model.apply(variables, x))
         self._extract = extract_features
+        self._to_inception = u8_to_inception_inputs
         self.cfg = cfg
         self.directions = trainer.directions
-        crop_h = cfg.data.crop_image_height
-        crop_w = cfg.data.crop_image_width
 
-        def take(loader) -> np.ndarray:
-            rows: List[np.ndarray] = []
-            for batch in loader:
-                rows.extend(np.asarray(batch))
-                if len(rows) >= cfg.eval_max_images:
-                    break
-            return np.stack(rows[:cfg.eval_max_images])
-
-        raw = {"a2b": take(test_a), "b2a": take(test_b)}
-        # deterministic center-crop eval view of the source domain
+        raw = {"a": test_a.head_rows(cfg.eval_max_images),
+               "b": test_b.head_rows(cfg.eval_max_images)}
+        src = {"a2b": "a", "b2a": "b"}
+        # full new_size frames, normalized — see the protocol note above
         self._inputs = {
-            d: np.asarray(augment_batch(jax.random.PRNGKey(0),
-                                        jnp.asarray(raw[src]), crop_h,
-                                        crop_w, train=False))
-            for d, src in (("a2b", "a2b"), ("b2a", "b2a"))}
+            d: np.asarray(normalize_batch(jnp.asarray(raw[src[d]])))
+            for d in self.directions}
         # target features once: a2b is scored against domain-B test images
-        self._target_feats = {}
-        for d, tgt in (("a2b", "b2a"), ("b2a", "a2b")):
-            if d in self.directions:
-                self._target_feats[d] = self._extract(
-                    self._feat_fn,
-                    [u8_to_inception_inputs(raw[tgt])],
-                    pad_batch=None)
+        tgt = {"a2b": "b", "b2a": "a"}
+        self._target_feats = {
+            d: self._extract(self._feat_fn,
+                             [self._to_inception(raw[tgt[d]])],
+                             pad_batch=None)
+            for d in self.directions}
 
     def __call__(self, trainer, state, primary: bool = True
                  ) -> Dict[str, float]:
@@ -103,15 +91,15 @@ class TrainEvalHook:
         out: Dict[str, float] = {}
         for d in self.directions:
             x = jnp.asarray(self._inputs[d])
+            # fixed style draw -> the FID series is comparable across steps;
             # collective under sharded trainers — every process calls it
-            # fixed style draw -> the FID series is comparable across steps
             x_t, _ = trainer.sample(state, x, direction=d,
                                     rng=jax.random.PRNGKey(7))
             if not primary:
                 continue
             u8 = denormalize_to_uint8(np.asarray(x_t[0]))  # member 0
             feats = self._extract(self._feat_fn,
-                                  [u8_to_inception_inputs(u8)],
+                                  [self._to_inception(u8)],
                                   pad_batch=None)
             out[f"fid_{d}"] = fid_from_features(feats,
                                                 self._target_feats[d])

@@ -64,6 +64,9 @@ def mask_skipped_metrics(metrics: Dict) -> Dict:
     updated = metrics.pop("cdis_updated", None)
     if updated is not None and float(np.asarray(updated)) == 0.0:
         metrics.pop("loss_dis_council", None)
+        # no update ran, so "applied cleanly" (finite_cdis=1.0) would
+        # mislead the same way the placeholder loss does
+        metrics.pop("finite_cdis", None)
     return metrics
 
 
@@ -146,10 +149,12 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
         # the resumed step so the run continues the data order instead of
         # replaying already-consumed batches
         start_batch=start_step)
-    # fixed display batches (reference: display_size samples)
+    # fixed display batches (reference: display_size samples) — head_rows:
+    # epoch-0 rows regardless of resume fast-forward (the sheets stay
+    # comparable across a resume) and no abandoned producer thread
     disp_n = min(cfg.display_size, local_bs)
-    disp_a = next(iter(test_a))[:disp_n]
-    disp_train_a = next(iter(train_a))[:disp_n]
+    disp_a = test_a.head_rows(disp_n)
+    disp_train_a = train_a.head_rows(disp_n)
     if n_proc > 1:
         # one consistent display batch everywhere (sampling is replicated
         # compute; all processes must see the same pixels)
@@ -165,12 +170,10 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
     eval_hook = None
     if cfg.eval_iter:
         # in-training FID vs the test split at the eval_iter cadence
-        # (councilx/eval/hook.py); consumes fresh test loaders so the
-        # display batches above are unaffected
+        # (councilx/eval/hook.py); head_rows fixtures don't consume or
+        # race the loaders' streams
         from councilx.eval.hook import TrainEvalHook
-        ev_a, ev_b = get_all_data_loaders(cfg, synthetic=synthetic,
-                                          batch_size=local_bs)[2:]
-        eval_hook = TrainEvalHook(cfg, trainer, ev_a, ev_b)
+        eval_hook = TrainEvalHook(cfg, trainer, test_a, test_b)
 
     limit = min(cfg.max_iter, max_steps + start_step if max_steps else
                 cfg.max_iter)

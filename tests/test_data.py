@@ -118,6 +118,27 @@ def test_loader_start_batch_sharded_disjoint():
     assert not set(got0.tolist()) & set(got1.tolist())
 
 
+def test_head_rows_fixed_and_threadless():
+    """head_rows: epoch-0 rows regardless of start_batch (display/eval
+    fixtures stay identical across a resume fast-forward), computed
+    synchronously, capped at one epoch."""
+    import threading
+
+    ds = SyntheticImageDataset(10, new_size=8)
+    plain = DataLoader(ds, batch_size=2, infinite=True, seed=3)
+    resumed = DataLoader(ds, batch_size=2, infinite=True, seed=3,
+                         start_batch=7)
+    before = threading.active_count()
+    h5, h5r = plain.head_rows(5), resumed.head_rows(5)
+    h4, hall = plain.head_rows(4), plain.head_rows(999)
+    assert threading.active_count() == before  # no producer threads spawned
+    np.testing.assert_array_equal(h5, h5r)
+    assert hall.shape[0] == 10  # one-epoch cap
+    # head_rows is a strict prefix of the threaded stream
+    it = iter(plain)
+    np.testing.assert_array_equal(h4, np.concatenate([next(it), next(it)]))
+
+
 def test_get_all_data_loaders_synthetic():
     cfg = Config.from_dict({"batch_size": 2,
                             "new_size": 20,

@@ -56,19 +56,28 @@ def main():
     # graceful shutdown: SIGTERM/SIGINT finish the current step, write a
     # final checkpoint and exit 0 (the run is then --resume-able as a
     # bitwise continuation). A second signal falls back to the default
-    # handler (hard kill). Single-process only — see train().
-    import signal
+    # handler (hard kill). Single-process only: train() would ignore the
+    # event under multi-host (a per-process early exit desynchronizes the
+    # collectives), so don't install handlers there — the default
+    # SIGINT/SIGTERM behavior stays intact instead of printing a promise
+    # the loop won't keep.
     import threading
     stop_event = threading.Event()
+    import jax
+    if jax.process_count() == 1:
+        import signal
 
-    def _request_stop(signum, frame):
-        print(f"signal {signum}: finishing the current step and "
-              "checkpointing (repeat to force-kill)", flush=True)
-        stop_event.set()
-        signal.signal(signum, signal.SIG_DFL)
+        def _request_stop(signum, frame):
+            # set the event FIRST — print() can raise a reentrant-IO
+            # RuntimeError inside a handler if the signal lands mid-write,
+            # and the shutdown request must already be recorded by then
+            stop_event.set()
+            signal.signal(signum, signal.SIG_DFL)
+            print(f"signal {signum}: finishing the current step and "
+                  "checkpointing (repeat to force-kill)", flush=True)
 
-    for sig in (signal.SIGTERM, signal.SIGINT):
-        signal.signal(sig, _request_stop)
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, _request_stop)
 
     summary = train(cfg, output_path=args.output_path, run_name=run_name,
                     resume=args.resume, synthetic=args.synthetic,
