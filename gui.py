@@ -189,8 +189,21 @@ def main():
                 self._send(404, b"not found")
 
     srv = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
+
+    # graceful SIGTERM drain (same pattern as serve.py): shutdown() from
+    # another thread makes serve_forever return, in-flight responses finish
+    import signal
+
+    def _drain(signum, frame):
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
+
     print(f"serving on http://localhost:{args.port}")
-    srv.serve_forever()
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
 
 
 if __name__ == "__main__":

@@ -256,6 +256,19 @@ def main():
                           member_parallel=args.member_parallel)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(engine, cfg))
+
+    # graceful drain on SIGTERM (systemd/k8s stop): stop accepting, let
+    # in-flight requests finish, flush the engine, exit 0. shutdown() must
+    # run on another thread — it blocks until serve_forever (on THIS
+    # thread) returns.
+    import signal
+    import threading
+
+    def _drain(signum, frame):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
+
     print(f"serving member {args.member} on http://localhost:{args.port} "
           f"(buckets {engine.buckets}, delay {args.max_delay_ms} ms)")
     try:
@@ -264,6 +277,7 @@ def main():
         pass
     finally:
         engine.stop()
+        print("drained; exiting", flush=True)
 
 
 if __name__ == "__main__":

@@ -99,8 +99,11 @@ def gui_server(tmp_path_factory):
         raise RuntimeError(f"gui.py never came up: {last_err}")
 
     yield port
+    # terminate() is SIGTERM: gui.py must drain and exit 0
     proc.terminate()
     proc.wait(timeout=30)
+    assert proc.returncode == 0, \
+        proc.stdout.read().decode(errors="replace")[-2000:]
 
 
 def _get(port, path, timeout=300):

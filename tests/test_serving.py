@@ -465,8 +465,12 @@ def serve_server(tmp_path_factory):
         raise RuntimeError(f"serve.py never came up: {last_err}")
 
     yield port
+    # terminate() is SIGTERM: serve.py must drain (finish in-flight
+    # requests, stop the engine) and exit 0, not die mid-request
     proc.terminate()
     proc.wait(timeout=30)
+    assert proc.returncode == 0, \
+        proc.stdout.read().decode(errors="replace")[-2000:]
 
 
 def _get(port, path, timeout=300):
@@ -619,6 +623,8 @@ class TestServeHTTPMemberSharded:
         yield port
         proc.terminate()
         proc.wait(timeout=30)
+        assert proc.returncode == 0, \
+            proc.stdout.read().decode(errors="replace")[-2000:]
 
     def test_ensemble_strip_over_member_mesh(self, member_server):
         from PIL import Image
