@@ -131,6 +131,19 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # never block forever on a full queue: an abandoned consumer
+            # (generator GC'd, train() returned) sets stop in its finally,
+            # and the producer must exit instead of pinning a thread pool
+            # plus `prefetch` decoded batches for the process lifetime
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             # any failure must reach the consumer as an exception, never as
             # a dead producer + a consumer blocked on q.get() forever
@@ -149,10 +162,11 @@ class DataLoader:
                             arrs = list(pool.map(self.dataset.__getitem__,
                                                  batch_idx.tolist()))
                             batch = np.stack(arrs)
-                        q.put(batch)
-                q.put(None)
+                        if not put_or_stop(batch):
+                            return
+                put_or_stop(None)
             except BaseException as e:  # noqa: BLE001
-                q.put(e)
+                put_or_stop(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -213,9 +227,17 @@ def get_all_data_loaders(cfg: Config, synthetic: bool = False,
             else:
                 ds = ImageFolderDataset(os.path.join(d.data_root, split),
                                         new_size=d.new_size)
+        # per-split seeds: trainA and trainB must shuffle INDEPENDENTLY
+        # (the reference's two DataLoaders do) — a shared seed would pair
+        # A[i] with B[i] in every batch forever when the domains have equal
+        # sizes. crc32, not hash(): PYTHONHASHSEED-independent, so every
+        # multi-host process derives the same per-split stream.
         return DataLoader(ds, bs, shuffle=train,
                           num_workers=d.num_workers, infinite=train,
-                          seed=0 if train else 1,
+                          seed=zlib.crc32(split.encode()) % (2 ** 31),
+                          # a test split smaller than the batch must not
+                          # refuse to load; the ragged tail batch is kept
+                          drop_last=train,
                           shard_index=shard_index if train else 0,
                           shard_count=shard_count if train else 1,
                           # resume fast-forward: continue the deterministic

@@ -132,7 +132,6 @@ class DataParallelTrainer(CouncilTrainer):
         self._batch_sharding = batch_sh
         self._jit_step = jax.jit(
             self._step,
-            static_argnames=("do_cdis",),
             donate_argnums=(0,),
             in_shardings=(replicated, batch_sh, batch_sh),
             out_shardings=(replicated, replicated),
@@ -162,7 +161,6 @@ class DataParallelTrainer(CouncilTrainer):
         x_a = shard_batch(self.mesh, x_a)
         x_b = shard_batch(self.mesh, x_b)
         # the cdis ratio is resolved inside the jit (trainer._step) — no
-        # host readback of state.step in the hot loop.
-        # pjit with explicit in_shardings rejects kwargs -> pass positionally
+        # host readback of state.step in the hot loop
         with self.mesh:
-            return self._jit_step(state, x_a, x_b, True)
+            return self._jit_step(state, x_a, x_b)

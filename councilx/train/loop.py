@@ -195,16 +195,23 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
         a_u8, b_u8 = next(it_a), next(it_b)
         k = jax.random.fold_in(aug_key, s)
         ka, kb = jax.random.split(k)
+        if n_proc > 1:
+            # assemble the global batch from the local UINT8 rows FIRST
+            # (jax.make_array_from_process_local_data), then augment the
+            # sharded global array on device. Augmenting locally and
+            # gathering after would round-trip the f32 crops through the
+            # host — 4x the bytes, twice, per step. The augment keys are
+            # per GLOBAL row either way (row_offset vs global index), so
+            # the pixels match the single-process run exactly.
+            ga = multihost.make_global_batch(mesh, np.asarray(a_u8))
+            gb = multihost.make_global_batch(mesh, np.asarray(b_u8))
+            x_a = augment_batch(ka, ga, crop_h, crop_w, train=True)
+            x_b = augment_batch(kb, gb, crop_h, crop_w, train=True)
+            return x_a, x_b
         x_a = augment_batch(ka, jnp.asarray(a_u8), crop_h, crop_w,
                             train=True, row_offset=row_off)
         x_b = augment_batch(kb, jnp.asarray(b_u8), crop_h, crop_w,
                             train=True, row_offset=row_off)
-        if n_proc > 1:
-            # assemble the host-local rows into one globally-sharded batch
-            # (jax.make_array_from_process_local_data); trainers' batch
-            # sharding requires global arrays under multi-host
-            x_a = multihost.make_global_batch(mesh, np.asarray(x_a))
-            x_b = multihost.make_global_batch(mesh, np.asarray(x_b))
         return x_a, x_b
 
     # one-step-deep host pipeline (cfg.host_prefetch): batch k+1 is staged
@@ -221,6 +228,7 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
         pending = pool.submit(stage_batch, step)
 
     interrupted = False
+    profiling = False
     while step < limit:
         if (stop_event is not None and n_proc == 1
                 and stop_event.is_set()):
@@ -235,14 +243,16 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
 
         if profile_steps and step == profile_steps.start:
             jax.profiler.start_trace(os.path.join(run_dir, "profile"))
+            profiling = True
         state, metrics = trainer.train_step(state, x_a, x_b)
-        if profile_steps and step == profile_steps.stop:
-            jax.tree_util.tree_map(
-                lambda l: l.block_until_ready(), metrics)
-            jax.profiler.stop_trace()
-
         step += 1
         window_steps += 1
+        if profiling and step >= profile_steps.stop:
+            # barrier via readback: block_until_ready is a NO-OP under the
+            # axon tunnel (CLAUDE.md) and would truncate the trace
+            jax.device_get(dict(metrics))
+            jax.profiler.stop_trace()
+            profiling = False
 
         if step % cfg.log_iter == 0:
             now = time.perf_counter()
@@ -291,6 +301,10 @@ def train(cfg: Config, output_path: str = "outputs", run_name: str = "run",
             # training continues (SURVEY.md §5.3)
             save_checkpoint(ckpt_dir, state, step, async_save=True)
 
+    if profiling:
+        # loop ended (limit/interrupt/resume overlap) with a trace open —
+        # finalize it so the profile isn't lost
+        jax.profiler.stop_trace()
     if pool is not None:
         pool.shutdown(wait=False)
     wait_for_checkpoints()

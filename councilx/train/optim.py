@@ -39,8 +39,11 @@ def make_optimizers(cfg: Config):
             cfg.lr, cfg.beta1, cfg.beta2, cfg.weight_decay, cfg.step_size,
             cfg.gamma, mu_dtype=mu_dtype)
     elif cfg.lr_policy == "constant":
+        # gamma=1.0 makes the decay a no-op for ANY step_size; a huge
+        # sentinel step_size would overflow optax's int32 count at trace
+        # time (count // (1<<62) crashes the first train step)
         mk = lambda: make_step_lr_adam(  # noqa: E731
-            cfg.lr, cfg.beta1, cfg.beta2, cfg.weight_decay, 1 << 62, 1.0,
+            cfg.lr, cfg.beta1, cfg.beta2, cfg.weight_decay, 1, 1.0,
             mu_dtype=mu_dtype)
     else:
         raise ValueError(f"unsupported lr_policy: {cfg.lr_policy}")

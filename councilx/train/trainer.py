@@ -133,8 +133,7 @@ class CouncilTrainer:
                     "VGG16 .npz; see tools/convert_vgg_pt.py)")
             self.vgg_params = load_vgg_npz(path)
 
-        self._jit_step = jax.jit(self._step, static_argnames=("do_cdis",),
-                                 donate_argnums=(0,))
+        self._jit_step = jax.jit(self._step, donate_argnums=(0,))
         self._jit_sample = jax.jit(self._sample_members)
 
     # ------------------------------------------------------------------
@@ -390,8 +389,8 @@ class CouncilTrainer:
         opt_new = jax.tree_util.tree_map(sel, opt_new, opt)
         return new_tree, opt_new, ok.astype(jnp.float32)
 
-    def _step(self, state: TrainState, x_a: jnp.ndarray, x_b: jnp.ndarray,
-              do_cdis: bool):
+    def _step(self, state: TrainState, x_a: jnp.ndarray,
+              x_b: jnp.ndarray):
         cfg = self.cfg
         n, sd = self.n, cfg.gen.style_dim
         b = x_a.shape[0]
@@ -438,7 +437,7 @@ class CouncilTrainer:
         #   k_per_step: k updates per train step, fresh fakes per update;
         #   every_kth:  one update on steps where step % k == 0 (lax.cond).
         opt_cdis = state.opt_cdis
-        if do_cdis and self.has_council:
+        if self.has_council:
             def one_cdis_update(tree, opt, fakes_k):
                 def cdis_loss_fn(t):
                     loss = 0.0
@@ -636,7 +635,7 @@ class CouncilTrainer:
         The council-dis update ratio (council_dis_relative_iteration /
         cdis_ratio_mode) is resolved inside the jit — no host readback of
         state.step in the hot loop."""
-        return self._jit_step(state, x_a, x_b, do_cdis=True)
+        return self._jit_step(state, x_a, x_b)
 
     def _sample_members(self, gen_params, x: jnp.ndarray, z: jnp.ndarray):
         """Translations from every member for visualization: -> (N,B,H,W,C)."""

@@ -150,6 +150,51 @@ def test_get_all_data_loaders_synthetic():
     assert a.shape == (2, 20, 20, 3) and a.dtype == np.uint8
     # test split is finite
     assert len(list(te_a)) == 4
+    # trainA and trainB shuffle INDEPENDENTLY (reference: two DataLoaders):
+    # a shared seed would pair A[i] with B[i] in every batch forever
+    assert tr_a.seed != tr_b.seed
+    sa, sb = tr_a._index_stream(start=0), tr_b._index_stream(start=0)
+    first_epoch_a = [next(sa) for _ in range(4)]
+    first_epoch_b = [next(sb) for _ in range(4)]
+    assert any(not np.array_equal(a_, b_)
+               for a_, b_ in zip(first_epoch_a, first_epoch_b))
+
+
+def test_eval_loaders_keep_ragged_tail():
+    """Eval loaders use drop_last=False: a ragged (or smaller-than-batch)
+    test split still loads fully, so FID/display see every image."""
+    cfg = Config.from_dict({"batch_size": 2, "new_size": 12,
+                            "crop_image_height": 8, "crop_image_width": 8})
+    _, _, te_a, _ = get_all_data_loaders(cfg, synthetic=True,
+                                         synthetic_size=3)  # ragged vs bs=2
+    batches = list(te_a)
+    assert [b.shape[0] for b in batches] == [2, 1]
+    assert te_a.head_rows(99).shape[0] == 3
+    # a test split SMALLER than the batch loads too (train split would
+    # rightly refuse; the eval DataLoader must not)
+    tiny = DataLoader(SyntheticImageDataset(3, new_size=12), batch_size=4,
+                      shuffle=False, infinite=False, drop_last=False)
+    assert next(iter(tiny)).shape[0] == 3
+
+
+def test_abandoned_iterator_releases_producer():
+    """Abandoning an infinite loader's iterator (train() returning) must let
+    the producer thread and its decode pool exit instead of pinning them on
+    a full prefetch queue for the process lifetime."""
+    import threading
+    import time
+
+    ds = SyntheticImageDataset(8, new_size=8)
+    base = threading.active_count()
+    it = iter(DataLoader(ds, batch_size=2, infinite=True, prefetch=2,
+                         num_workers=2))
+    next(it)
+    assert threading.active_count() > base  # producer (+ pool) alive
+    it.close()  # generator finally -> stop.set()
+    deadline = time.time() + 5
+    while time.time() < deadline and threading.active_count() > base:
+        time.sleep(0.1)
+    assert threading.active_count() == base, "producer thread leaked"
 
 
 def test_normalize_range():

@@ -133,11 +133,11 @@ def main():
     # re-feed the returned state
     def time_full(state, steps=10, warmup=3):
         for _ in range(warmup):
-            state, m = trainer._jit_step(state, x, x, do_cdis=True)
+            state, m = trainer._jit_step(state, x, x)
         jax.device_get(m)
         t0 = time.perf_counter()
         for _ in range(steps):
-            state, m = trainer._jit_step(state, x, x, do_cdis=True)
+            state, m = trainer._jit_step(state, x, x)
         jax.device_get(m)
         return (time.perf_counter() - t0) / steps, state
 
