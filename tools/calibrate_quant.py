@@ -61,7 +61,7 @@ def main():
     from councilx.config import load_config
     from councilx.nn.generator import AdaINGen
     from councilx.inference.translate import Translator
-    from test_on_folder import load_generator_params
+    from councilx.ckpt.manager import load_generator_params
 
     cfg = load_config(args.config)
     cfg.quant = "w8a8_calib"

@@ -93,7 +93,7 @@ def main(argv=None):
                                          init_random_params, load_params_npz)
     from councilx.eval.metrics import fid_from_features, kid_from_features
     from councilx.inference.translate import Translator
-    from test_on_folder import load_generator_params
+    from councilx.ckpt.manager import load_generator_params
 
     if args.weights:
         model = InceptionV3Features()

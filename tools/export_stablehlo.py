@@ -40,7 +40,7 @@ def main():
     from councilx.ckpt.manager import save_params_npz
     from councilx.config import load_config
     from councilx.inference.translate import Translator
-    from test_on_folder import load_generator_params
+    from councilx.ckpt.manager import load_generator_params
 
     cfg = load_config(args.config)
     tr = Translator(cfg)

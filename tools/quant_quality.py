@@ -68,7 +68,7 @@ def compare(cfg_path: str, checkpoint: str, member: int, direction: str,
     from councilx.config import load_config
     from councilx.data.ondevice import normalize_batch
     from councilx.inference.translate import Translator
-    from test_on_folder import load_generator_params
+    from councilx.ckpt.manager import load_generator_params
 
     if "w8a8_static" in modes and calibration is None:
         raise SystemExit("--calibration is required for w8a8_static "
