@@ -48,7 +48,8 @@ def test_wheel_contents(wheel_path):
                 ("councilx-translate", "councilx.cli.translate:main"),
                 ("councilx-serve", "councilx.cli.serve:main"),
                 ("councilx-gui", "councilx.cli.gui:main"),
-                ("councilx-convert-pt", "councilx.cli.convert:main")):
+                ("councilx-convert-pt", "councilx.cli.convert:main"),
+                ("councilx-eval", "councilx.cli.eval:main")):
             assert f"{script} = {target}" in eps, eps
         # repo-root shims must NOT leak into the wheel as top-level modules
         assert not any(n.split("/")[0] in
@@ -59,13 +60,14 @@ def test_wheel_contents(wheel_path):
 def test_entry_point_targets_importable():
     """Every [project.scripts] target resolves to a callable."""
     import councilx.cli.convert
+    import councilx.cli.eval
     import councilx.cli.gui
     import councilx.cli.serve
     import councilx.cli.train
     import councilx.cli.translate
     for mod in (councilx.cli.train, councilx.cli.translate,
                 councilx.cli.serve, councilx.cli.gui,
-                councilx.cli.convert):
+                councilx.cli.convert, councilx.cli.eval):
         assert callable(mod.main)
 
 
