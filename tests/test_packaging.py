@@ -7,6 +7,7 @@ setuptools); no network and no site-packages mutation.
 """
 
 import os
+import shutil
 import subprocess
 import sys
 import zipfile
@@ -18,10 +19,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.fixture(scope="module")
 def wheel_path(tmp_path_factory):
+    # Build from a pristine tmp copy so the working tree never accumulates
+    # build/ or *.egg-info/ churn (those artifacts were once committed by
+    # accident; building out-of-tree makes a repeat impossible).
+    src = str(tmp_path_factory.mktemp("src") / "councilx")
+    shutil.copytree(
+        REPO, src,
+        ignore=shutil.ignore_patterns(
+            ".git", "build", "*.egg-info", "__pycache__", ".pytest_cache",
+            "outputs", "datasets"))
     out = tmp_path_factory.mktemp("wheel")
     r = subprocess.run(
         [sys.executable, "-m", "pip", "wheel", "--no-deps",
-         "--no-build-isolation", "--wheel-dir", str(out), REPO],
+         "--no-build-isolation", "--wheel-dir", str(out), src],
         capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, f"wheel build failed:\n{r.stdout}\n{r.stderr}"
     wheels = [p for p in os.listdir(out) if p.endswith(".whl")]
@@ -35,7 +45,8 @@ def test_wheel_contents(wheel_path):
         # library + cli modules
         for mod in ("councilx/config.py", "councilx/train/trainer.py",
                     "councilx/cli/train.py", "councilx/cli/translate.py",
-                    "councilx/cli/serve.py", "councilx/cli/gui.py"):
+                    "councilx/cli/serve.py", "councilx/cli/gui.py",
+                    "councilx/cli/eval.py", "councilx/cli/convert.py"):
             assert mod in names, f"{mod} missing from wheel"
         # the native loader source must ship (build-on-first-use via g++)
         assert "councilx/data/native/cxloader.cc" in names
