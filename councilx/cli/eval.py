@@ -2,7 +2,8 @@
 
     councilx-eval --config configs/male2female_council_folder.yaml \
         --checkpoint outputs/run/checkpoints --input_folder testA/ \
-        --target_folder testB/ --weights inception.npz [--kid] [--member 0]
+        --target_folder testB/ --weights inception.npz [--kid] \
+        [--member 0 | --member all]
 
 Implements the north-star FID-parity protocol end to end (BASELINE.md
 §protocol): translate every image in ``--input_folder`` with the checkpointed
@@ -57,6 +58,56 @@ def translated_feature_batches(translator, params, ds, member, rng,
         yield np.stack(feats)
 
 
+def per_member_features(translator, params, ds, rng, batch_size, feat_fn,
+                        save_dir=None):
+    """Inception features of every member's translations in ONE pass.
+
+    The dataset is read once and each batch is translated by ALL council
+    members in a single vmapped device call (inference/translate.py
+    ``_translate_all_members``) — only the host-side Inception feature
+    passes multiply with council_size. Each member draws its own style z
+    per batch (the translate_all_members convention), matching N
+    independent single-member runs distributionally. Returns a list of
+    (n_images, 2048) arrays indexed by member.
+    """
+    import numpy as np
+    from PIL import Image
+    import jax
+    import jax.numpy as jnp
+
+    from councilx.data.ondevice import normalize_batch
+    from councilx.eval.features import (extract_features,
+                                        u8_to_inception_inputs)
+    from councilx.inference.translate import denormalize_to_uint8
+
+    feats = None
+    for start in range(0, len(ds), batch_size):
+        idxs = list(range(start, min(start + batch_size, len(ds))))
+        arrs = np.stack([ds[i] for i in idxs])
+        pad = batch_size - arrs.shape[0]
+        if pad:  # pad tail batch -> one jit signature
+            arrs = np.concatenate([arrs, np.repeat(arrs[-1:], pad, axis=0)])
+        x = normalize_batch(jnp.asarray(arrs))
+        rng, k = jax.random.split(rng)
+        out, _ = translator.translate_all_members(params, x, rng=k)
+        out_u8 = denormalize_to_uint8(np.asarray(out))[:, :len(idxs)]
+        if feats is None:
+            feats = [[] for _ in range(out_u8.shape[0])]
+        for m in range(out_u8.shape[0]):
+            if save_dir:
+                mdir = os.path.join(save_dir, f"m{m}")
+                os.makedirs(mdir, exist_ok=True)
+                for j, i in enumerate(idxs):
+                    base = os.path.splitext(
+                        os.path.basename(ds.paths[i]))[0]
+                    Image.fromarray(out_u8[m, j]).save(
+                        os.path.join(mdir, f"{base}.png"))
+            feats[m].append(extract_features(
+                feat_fn, [u8_to_inception_inputs(out_u8[m])],
+                pad_batch=batch_size))
+    return [np.concatenate(f) for f in feats]
+
+
 def main(argv=None):
     from councilx.utils.platform import apply_env_platform
     apply_env_platform()
@@ -71,8 +122,10 @@ def main(argv=None):
                     help="permit random Inception weights (smoke tests only)")
     ap.add_argument("--kid", action="store_true", help="also compute KID")
     ap.add_argument("--kid-subset-size", type=int, default=1000)
-    ap.add_argument("--member", type=int, default=0,
-                    help="council member to evaluate")
+    ap.add_argument("--member", default="0",
+                    help="council member index, or 'all' for the paper's "
+                         "best-member protocol (per-member FID/KID in one "
+                         "run + the argmin)")
     ap.add_argument("--direction", default="a2b", choices=["a2b", "b2a"])
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--batch_size", type=int, default=16)
@@ -111,20 +164,44 @@ def main(argv=None):
         os.makedirs(args.save_translations, exist_ok=True)
 
     feat_fn = jax.jit(lambda x: model.apply(variables, x))
+    f_target = folder_features(args.target_folder, model, variables,
+                               args.feature_batch_size)
+
+    if args.member == "all":
+        # paper protocol: score every member, report the best (min FID)
+        member_feats = per_member_features(
+            translator, params, ds, jax.random.PRNGKey(args.seed),
+            args.batch_size, feat_fn, save_dir=args.save_translations)
+        fids = [fid_from_features(f, f_target) for f in member_feats]
+        best = min(range(len(fids)), key=lambda m: fids[m])
+        out = {"fid": fids[best], "fid_per_member": fids,
+               "best_member": best,
+               "n_translated": int(member_feats[0].shape[0]),
+               "n_target": int(f_target.shape[0]),
+               "member": "all", "direction": args.direction,
+               "checkpoint": args.checkpoint}
+        if args.kid:
+            out["kid_per_member"] = [
+                kid_from_features(f, f_target,
+                                  subset_size=args.kid_subset_size)
+                for f in member_feats]
+            out["kid"] = out["kid_per_member"][best]
+        print(json.dumps(out))
+        return out
+
+    member = int(args.member)
     f_trans = extract_features(
         feat_fn,
         translated_feature_batches(
-            translator, params, ds, args.member,
+            translator, params, ds, member,
             jax.random.PRNGKey(args.seed), args.batch_size,
             save_dir=args.save_translations),
         pad_batch=args.batch_size)
-    f_target = folder_features(args.target_folder, model, variables,
-                               args.feature_batch_size)
 
     out = {"fid": fid_from_features(f_trans, f_target),
            "n_translated": int(f_trans.shape[0]),
            "n_target": int(f_target.shape[0]),
-           "member": args.member, "direction": args.direction,
+           "member": member, "direction": args.direction,
            "checkpoint": args.checkpoint}
     if args.kid:
         out["kid"] = kid_from_features(f_trans, f_target,

@@ -213,6 +213,10 @@ class Config:
     eval_inception_weights: str = ""
     # images per domain used by the in-training FID (bounds eval cost)
     eval_max_images: int = 64
+    # council member the in-training FID scores: an index, or "all" for the
+    # paper's best-member protocol — per-member fid_<dir>_m<k> series plus
+    # fid_<dir> = min over members (the number the paper reports)
+    eval_member: Any = 0
     snapshot_save_iter: int = 10_000
     log_iter: int = 10
 
@@ -416,6 +420,12 @@ class Config:
             raise ValueError(f"unsupported in_precision: {self.in_precision}")
         if self.quant not in ("none", "w8a8", "w8a8_calib", "w8a8_static"):
             raise ValueError(f"unsupported quant: {self.quant}")
+        if not (self.eval_member == "all"
+                or (isinstance(self.eval_member, int)
+                    and 0 <= self.eval_member < self.council.council_size)):
+            raise ValueError(
+                f"eval_member must be 'all' or a member index in "
+                f"[0, {self.council.council_size}), got {self.eval_member!r}")
         if self.gen_member_chunks < 1:
             raise ValueError("gen_member_chunks must be >= 1")
         if self.council.council_size % self.gen_member_chunks:

@@ -1,18 +1,23 @@
 """Periodic in-training FID (SURVEY.md §5.5 observability — beyond the
 reference, which only ever inspects sample sheets by eye).
 
-``cfg.eval_iter > 0`` translates a fixed set of test images with council
-member 0 every ``eval_iter`` steps and scores them against the target
-domain's test images with InceptionV3-pool3 features (pytorch-fid input
-convention: 299px PIL-bilinear, Fréchet in float64), logged as
-``fid_<direction>`` beside the loss curves in JSONL/TensorBoard.
+``cfg.eval_iter > 0`` translates a fixed set of test images every
+``eval_iter`` steps and scores them against the target domain's test images
+with InceptionV3-pool3 features (pytorch-fid input convention: 299px
+PIL-bilinear, Fréchet in float64), logged as ``fid_<direction>`` beside the
+loss curves in JSONL/TensorBoard. ``cfg.eval_member`` picks the member
+scored: an index (default 0), or ``"all"`` for the paper's best-member
+protocol — every member's ``fid_<direction>_m<k>`` is logged and
+``fid_<direction>`` is their minimum (the translate is one vmapped call
+either way; "all" only multiplies the Inception feature passes).
 
 Protocol note: both sides are the data loader's ``new_size`` views — full
 frames, translated at ``new_size`` (the generator is fully convolutional).
 The in-training series is internally consistent and comparable ACROSS
 steps; ``tools/eval_checkpoint.py`` instead reads the ORIGINAL files for
 the target side, so compare in-training numbers to offline/paper numbers
-only when ``new_size`` matches the original resolution.
+only when ``new_size`` matches the original resolution — the hook warns
+once at construction when it can see that they differ.
 
 Multi-host: the translate runs on every process (trainer.sample gathers
 sharded params — a collective); feature extraction + FID run on process 0
@@ -67,6 +72,8 @@ class TrainEvalHook:
         self._to_inception = u8_to_inception_inputs
         self.cfg = cfg
         self.directions = trainer.directions
+        self.member = cfg.eval_member  # index | "all" (validated in config)
+        self._warn_if_resized(test_a, test_b)
 
         raw = {"a": test_a.head_rows(cfg.eval_max_images),
                "b": test_b.head_rows(cfg.eval_max_images)}
@@ -83,6 +90,34 @@ class TrainEvalHook:
                              pad_batch=None)
             for d in self.directions}
 
+    def _warn_if_resized(self, test_a, test_b) -> None:
+        """Warn once when the loaders' new_size differs from the source
+        files' native resolution — the in-training FID series is then NOT
+        comparable to offline/paper numbers (see the protocol note)."""
+        import warnings
+
+        from PIL import Image
+
+        for loader in (test_a, test_b):
+            ds = getattr(loader, "dataset", None)
+            paths = getattr(ds, "paths", None)
+            if not paths:
+                continue  # synthetic/in-memory data: nothing to compare
+            try:
+                with Image.open(paths[0]) as img:
+                    native = min(img.size)
+            except Exception:
+                continue
+            if native != self.cfg.data.new_size:
+                warnings.warn(
+                    f"in-training FID runs at new_size="
+                    f"{self.cfg.data.new_size} but {paths[0]} is natively "
+                    f"{native}px on its shorter side — the fid_* series is "
+                    "self-consistent across steps but NOT comparable to "
+                    "offline/paper FID; evaluate checkpoints with "
+                    "councilx-eval for comparable numbers", stacklevel=3)
+                return
+
     def __call__(self, trainer, state, primary: bool = True
                  ) -> Dict[str, float]:
         from councilx.eval.metrics import fid_from_features
@@ -97,10 +132,21 @@ class TrainEvalHook:
                                     rng=jax.random.PRNGKey(7))
             if not primary:
                 continue
-            u8 = denormalize_to_uint8(np.asarray(x_t[0]))  # member 0
-            feats = self._extract(self._feat_fn,
-                                  [self._to_inception(u8)],
-                                  pad_batch=None)
-            out[f"fid_{d}"] = fid_from_features(feats,
-                                                self._target_feats[d])
+            members = (range(x_t.shape[0]) if self.member == "all"
+                       else [self.member])
+            fids = {}
+            for m in members:
+                u8 = denormalize_to_uint8(np.asarray(x_t[m]))
+                feats = self._extract(self._feat_fn,
+                                      [self._to_inception(u8)],
+                                      pad_batch=None)
+                fids[m] = fid_from_features(feats, self._target_feats[d])
+            if self.member == "all":
+                for m, v in fids.items():
+                    out[f"fid_{d}_m{m}"] = v
+                # best-member protocol: the paper reports the member with
+                # the lowest FID
+                out[f"fid_{d}"] = min(fids.values())
+            else:
+                out[f"fid_{d}"] = fids[self.member]
         return out
