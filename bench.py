@@ -34,20 +34,15 @@ import jax.numpy as jnp
 
 from councilx.config import Config
 from councilx.train.trainer import CouncilTrainer
-from councilx.utils.platform import apply_env_platform
-
-apply_env_platform()
 
 V100_REFERENCE_ESTIMATE = 3.0  # images/sec — see BASELINE.md; estimate only
 
 
-def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "5"))
-    steps = int(os.environ.get("BENCH_STEPS", "30"))
-    council = int(os.environ.get("BENCH_COUNCIL", "4"))
-
-    cfg = Config.from_dict({
+def headline_config(batch: int = 8, council: int = 4) -> Config:
+    """The BASELINE.json headline configuration (256px council-N bf16 train)
+    with the BENCH_* env overrides applied — importable so tools (mfu.py)
+    analyze EXACTLY the benchmarked step."""
+    return Config.from_dict({
         "batch_size": batch,
         "compute_dtype": "bfloat16",
         "use_pallas": bool(int(os.environ.get("BENCH_PALLAS", "0"))),
@@ -67,6 +62,17 @@ def main():
         "dis": {"dim": 64, "n_layer": 4, "num_scales": 3},
         "new_size": 270, "crop_image_height": 256, "crop_image_width": 256,
     })
+
+
+def main():
+    from councilx.utils.platform import apply_env_platform
+    apply_env_platform()
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "5"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    council = int(os.environ.get("BENCH_COUNCIL", "4"))
+    cfg = headline_config(batch, council)
 
     n_chips = 1  # bench target is per-chip; driver runs on one real TPU chip
     trainer = CouncilTrainer(cfg)

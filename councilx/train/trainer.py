@@ -48,6 +48,15 @@ def draw_phase_zs(draw, directions, z_mode: str):
     (di = direction index). Returns ``(zs_gen, zs_cdis, zs_dis)`` dicts
     keyed by direction — the SAME dict object where phases share a stream,
     so callers can reuse the already-computed fakes (``zs_cdis is zs_dis``).
+
+    Known micro-gap vs the reference stream (deliberate, not worth fixing):
+    the ``cdis_ratio_mode="k_per_step"`` repeat draws
+    (``fold_in(k_z, 1000 + it*8 + di)`` in ``_step``) derive from the SAME
+    per-step base key ``k_z`` as the phase draws above, whereas the
+    reference's ``torch.randn`` calls share only the global generator state
+    — no structural coupling. Every fold constant is distinct, so all draws
+    remain mutually independent standard normals; the coupling is purely in
+    the counter-mode key derivation and is distributionally irrelevant.
     """
     zs_gen = {d: draw(di) for di, d in enumerate(directions)}
     if z_mode == "shared":

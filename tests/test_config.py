@@ -4,6 +4,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.smoke  # <5-min pre-commit tier
+
 from councilx.config import Config, load_config
 
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")

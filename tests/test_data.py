@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke  # <5-min pre-commit tier
+
 import jax
 import jax.numpy as jnp
 

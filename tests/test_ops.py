@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke  # <5-min pre-commit tier
+
 from councilx.ops.upsample_conv import (upsample2x_conv5x5,
                                         upsample2x_conv5x5_reference)
 

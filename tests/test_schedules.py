@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke  # <5-min pre-commit tier
+
 from councilx.config import Config
 from councilx.schedules import WeightSchedule
 

@@ -67,6 +67,7 @@ def u8_engine_setup():
     engine.stop()
 
 
+@pytest.mark.smoke
 class TestBucketLadder:
     def test_plain(self):
         from councilx.inference.server import _bucket_ladder
@@ -82,6 +83,7 @@ class TestBucketLadder:
 
 
 class TestBatchingEngine:
+    @pytest.mark.smoke  # the tier's one serving-engine test
     def test_single_request_exact(self, engine_setup, rng):
         """An idle engine serves a lone request at bucket 1 — output must be
         bit-identical to the direct batch-1 translate_u8 path."""

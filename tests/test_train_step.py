@@ -57,6 +57,7 @@ class TestTrainStep:
             assert all(leaf.shape[0] == cfg.council.council_size
                        for leaf in leaves)
 
+    @pytest.mark.smoke  # the tier's one trainer-compile test
     def test_single_step_runs_and_losses_finite(self, rng):
         cfg = tiny_config()
         trainer = CouncilTrainer(cfg)
