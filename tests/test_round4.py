@@ -165,3 +165,66 @@ def test_hook_warns_when_new_size_differs(tmp_path):
         warnings.simplefilter("always")
         TrainEvalHook(cfg, trainer, mk2(), mk2())
     assert not [x for x in w if "NOT comparable" in str(x.message)]
+
+
+@pytest.mark.smoke
+class TestMfuParser:
+    """tools/mfu.py's StableHLO conv/dot FLOP walk vs analytic counts."""
+
+    def test_conv_flops_exact(self):
+        import jax.numpy as jnp
+        from tools.mfu import stablehlo_matmul_flops
+
+        def f(x, k):
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        x = jnp.zeros((2, 16, 16, 8), jnp.float32)
+        k = jnp.zeros((3, 3, 8, 4), jnp.float32)
+        conv, dot = stablehlo_matmul_flops(jax.jit(f).lower(x, k).as_text())
+        assert conv == 2 * 2 * 16 * 16 * 4 * 3 * 3 * 8
+        assert dot == 0
+
+    def test_grouped_conv_counts_per_group_channels(self):
+        import jax.numpy as jnp
+        from tools.mfu import stablehlo_matmul_flops
+
+        def f(x, k):  # feature_group_count=2 (the vmapped-member lowering)
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME", feature_group_count=2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        x = jnp.zeros((2, 16, 16, 8), jnp.float32)
+        k = jnp.zeros((3, 3, 4, 8), jnp.float32)  # i = 8/2 groups
+        conv, _ = stablehlo_matmul_flops(jax.jit(f).lower(x, k).as_text())
+        assert conv == 2 * 2 * 16 * 16 * 8 * 3 * 3 * 4
+
+    def test_dilated_grad_conv_discounted(self):
+        import jax.numpy as jnp
+        from tools.mfu import stablehlo_matmul_flops
+
+        def loss(x, k):  # stride-2 conv; grad-wrt-x lowers with lhs_dilate=2
+            y = jax.lax.conv_general_dilated(
+                x, k, (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.sum(y * y)
+
+        x = jnp.zeros((2, 16, 16, 8), jnp.float32)
+        k = jnp.zeros((3, 3, 8, 4), jnp.float32)
+        g = jax.grad(loss)
+        conv, _ = stablehlo_matmul_flops(jax.jit(g).lower(x, k).as_text())
+        fwd = 2 * 2 * 8 * 8 * 4 * 3 * 3 * 8
+        # fwd + grad-x (dilation-discounted ~= fwd) + grad-k (~= fwd):
+        # the walk must land well under the naive 4x-overcounted total
+        assert conv <= 3.2 * fwd, conv
+
+    def test_dot_general_flops(self):
+        import jax.numpy as jnp
+        from tools.mfu import stablehlo_matmul_flops
+
+        f = lambda a, b: a @ b
+        a = jnp.zeros((4, 8), jnp.float32)
+        b = jnp.zeros((8, 16), jnp.float32)
+        _, dot = stablehlo_matmul_flops(jax.jit(f).lower(a, b).as_text())
+        assert dot == 2 * 4 * 16 * 8
