@@ -187,16 +187,21 @@ def test_abandoned_iterator_releases_producer():
     import time
 
     ds = SyntheticImageDataset(8, new_size=8)
-    base = threading.active_count()
+    # Track the loader's own threads, not the global count: unrelated
+    # threads (JAX pools, prior tests' stragglers) starting or exiting
+    # mid-test must not flake this.
+    before = set(threading.enumerate())
     it = iter(DataLoader(ds, batch_size=2, infinite=True, prefetch=2,
                          num_workers=2))
     next(it)
-    assert threading.active_count() > base  # producer (+ pool) alive
+    spawned = [t for t in threading.enumerate() if t not in before]
+    assert spawned, "producer (+ pool) should be alive after first batch"
     it.close()  # generator finally -> stop.set()
     deadline = time.time() + 5
-    while time.time() < deadline and threading.active_count() > base:
+    while time.time() < deadline and any(t.is_alive() for t in spawned):
         time.sleep(0.1)
-    assert threading.active_count() == base, "producer thread leaked"
+    leaked = [t.name for t in spawned if t.is_alive()]
+    assert not leaked, f"loader threads leaked: {leaked}"
 
 
 def test_normalize_range():

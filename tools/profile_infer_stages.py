@@ -137,7 +137,7 @@ def build_stages(cfg, gen, params, quant_stats):
         lambda c: dict(c, x=up1.apply(
             vs(p_dec["Conv2dBlock_1"], ("dec", "Conv2dBlock_1")), c["x"])))
 
-    out_dim = 4 if cfg.focus_loss.focus_enabled else 3
+    out_dim = 4 if cfg.council.focus_enabled else 3
     cbf = Conv2dBlock(out_dim, 7, 1, 3, norm="none", activation="tanh",
                       pad_type="reflect", kernel_init=gen.kernel_init,
                       dtype=dtype)
