@@ -326,6 +326,12 @@ class Conv2dBlock(nn.Module):
     # internal precision of the in/adain norms ("f32"|"mixed"|"bf16") —
     # see apply_instance_norm; ignored (== f32) when dtype is float32
     in_precision: str = "f32"
+    # fold the reflect/replicate pad into the conv (ops/pad_conv.py):
+    # zero-padded conv + exact border-strip splices, skipping the padded
+    # HBM copy — measured 22% of the 7x7 final-stage time at 256px
+    # (tools/bench_decoder_tail.py). Set on the generator's 7x7 stride-1
+    # convs; identical parameter tree.
+    fuse_pad: bool = False
     # W8A8 int8 quantization of the conv (serving-only lever; ops/quant.py).
     # "none" | "w8a8" (dynamic per-image scales) | "w8a8_calib" (dynamic +
     # record running activation absmax into the "quant_stats" collection —
@@ -392,6 +398,17 @@ class Conv2dBlock(nn.Module):
                 kernel_init=self.kernel_init, name="Conv_0")(x.shape[-1])
             y = conv_w8a8(x, kernel, bias, stride=self.stride,
                           out_dtype=self.dtype, a_scale=a_scale)
+        elif (self.fuse_pad and self.stride == 1
+              and self.kernel_size % 2 == 1
+              and self.padding == self.kernel_size // 2):
+            from councilx.ops.pad_conv import conv2d_same
+
+            kernel, bias = _ConvParams(
+                features=self.out_dim,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                kernel_init=self.kernel_init, name="Conv_0")(x.shape[-1])
+            y = conv2d_same(x.astype(self.dtype), kernel.astype(self.dtype),
+                            bias, self.pad_type)
         else:
             x = pad2d(x, self.padding, self.pad_type)
             y = None

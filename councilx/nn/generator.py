@@ -82,7 +82,7 @@ class ContentEncoder(nn.Module):
                pad_type=self.pad_type, kernel_init=self.kernel_init,
                dtype=self.dtype, use_pallas=self.use_pallas,
                use_pallas_norm=self.use_pallas_norm,
-               in_precision=self.in_precision,
+               in_precision=self.in_precision, fuse_pad=True,
                name="Conv2dBlock_0")(x)
         for i in range(self.n_downsample):
             x = CB(2 * dim, 4, 2, 1, norm="in",
@@ -120,7 +120,7 @@ class StyleEncoder(nn.Module):
         dim = self.dim
         x = Conv2dBlock(dim, 7, 1, 3, norm="none", activation=self.activ,
                         pad_type=self.pad_type, kernel_init=self.kernel_init,
-                        dtype=self.dtype)(x)
+                        dtype=self.dtype, fuse_pad=True)(x)
         for _ in range(2):
             x = Conv2dBlock(2 * dim, 4, 2, 1, norm="none",
                             activation=self.activ, pad_type=self.pad_type,
@@ -223,7 +223,7 @@ class Decoder(nn.Module):
                         and self.output_dim > 3)
         x = CB(self.output_dim, 7, 1, 3, norm="none",
                activation="none" if sigmoid_mask else "tanh",
-               pad_type=self.pad_type,
+               pad_type=self.pad_type, fuse_pad=True,
                kernel_init=self.kernel_init, dtype=self.dtype,
                name=f"Conv2dBlock_{idx}")(x)
         if sigmoid_mask:

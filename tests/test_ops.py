@@ -16,9 +16,10 @@ def _rand(rng, *shape):
     return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
 
 
+@pytest.mark.parametrize("engine", ["dilated", "phase"])
 @pytest.mark.parametrize("pad_type", ["reflect", "replicate", "zero"])
 @pytest.mark.parametrize("hw", [(4, 4), (5, 7), (8, 8), (16, 12)])
-def test_fused_upsample_conv_matches_reference(rng, pad_type, hw):
+def test_fused_upsample_conv_matches_reference(rng, pad_type, hw, engine):
     r = np.random.default_rng(0)
     h, w = hw
     x = _rand(r, 2, h, w, 6)
@@ -26,13 +27,15 @@ def test_fused_upsample_conv_matches_reference(rng, pad_type, hw):
     b = _rand(r, 8) * 0.1
     ref = upsample2x_conv5x5_reference(x, k, b, pad_type,
                                        precision="highest")
-    fast = upsample2x_conv5x5(x, k, b, pad_type, precision="highest")
+    fast = upsample2x_conv5x5(x, k, b, pad_type, precision="highest",
+                              engine=engine)
     assert fast.shape == ref.shape == (2, 2 * h, 2 * w, 8)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
 
 
-def test_fused_upsample_conv_gradients_match(rng):
+@pytest.mark.parametrize("engine", ["dilated", "phase"])
+def test_fused_upsample_conv_gradients_match(rng, engine):
     r = np.random.default_rng(1)
     x = _rand(r, 1, 8, 8, 4)
     k = _rand(r, 5, 5, 4, 3) * 0.1
@@ -44,7 +47,8 @@ def test_fused_upsample_conv_gradients_match(rng):
         return jnp.sum(jnp.sin(y))
 
     def loss_fast(x, k, b):
-        y = upsample2x_conv5x5(x, k, b, "reflect", precision="highest")
+        y = upsample2x_conv5x5(x, k, b, "reflect", precision="highest",
+                               engine=engine)
         return jnp.sum(jnp.sin(y))
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, b)
@@ -52,6 +56,54 @@ def test_fused_upsample_conv_gradients_match(rng):
     for a, bb in zip(g_ref, g_fast):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("pad_type", ["reflect", "replicate", "zero"])
+@pytest.mark.parametrize("ksize", [3, 5, 7])
+def test_pad_fused_conv_matches_reference(rng, pad_type, ksize):
+    from councilx.ops.pad_conv import conv2d_same, conv2d_same_reference
+
+    r = np.random.default_rng(4)
+    x = _rand(r, 2, 9, 12, 5)
+    k = _rand(r, ksize, ksize, 5, 6) * 0.1
+    b = _rand(r, 6) * 0.1
+    ref = conv2d_same_reference(x, k, b, pad_type, precision="highest")
+    fast = conv2d_same(x, k, b, pad_type, precision="highest")
+    assert fast.shape == ref.shape == (2, 9, 12, 6)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_pad_fused_conv_gradients_match(rng):
+    from councilx.ops.pad_conv import conv2d_same, conv2d_same_reference
+
+    r = np.random.default_rng(5)
+    x = _rand(r, 1, 8, 8, 4)
+    k = _rand(r, 7, 7, 4, 3) * 0.1
+    b = _rand(r, 3) * 0.1
+
+    def loss(fn):
+        def go(x, k, b):
+            return jnp.sum(jnp.sin(fn(x, k, b, "reflect",
+                                      precision="highest")))
+        return go
+
+    g_ref = jax.grad(loss(conv2d_same_reference), (0, 1, 2))(x, k, b)
+    g_fast = jax.grad(loss(conv2d_same), (0, 1, 2))(x, k, b)
+    for a, bb in zip(g_ref, g_fast):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_pad_fused_conv_small_input_falls_back(rng):
+    from councilx.ops.pad_conv import conv2d_same, conv2d_same_reference
+
+    r = np.random.default_rng(6)
+    x = _rand(r, 1, 5, 5, 2)   # < 2*p for k=7
+    k = _rand(r, 7, 7, 2, 2) * 0.1
+    ref = conv2d_same_reference(x, k, None, "reflect")
+    fast = conv2d_same(x, k, None, "reflect")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
 
 
 def test_tiny_input_falls_back(rng):

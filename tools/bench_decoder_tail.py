@@ -145,9 +145,11 @@ def main():
         def v_conv_ln(y, i):
             return munit_ln(v_fused(y, i))
 
-        # baseline: folddown chain alone (to subtract)
+        # baseline: the updown scaffold alone (materialized 2x repeat to
+        # cout channels + the folddown conv), to gauge the non-conv floor
         t_base = timeit(chain_of(lambda y, i: jnp.repeat(
-            jnp.repeat(y, 2, axis=1), 2, axis=2) * 1.0), x) / chain
+            jnp.repeat(y[..., :cout], 2, axis=1), 2, axis=2) * 1.0),
+            x) / chain
         report(tag, "updown_baseline", t_base, fold_flops)
 
         for name, fn, fl in (
