@@ -40,25 +40,90 @@ def conv2d_same_reference(x: jnp.ndarray, kernel: jnp.ndarray,
     return y
 
 
+def _phase_packed_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(K,K,I,O), K odd -> (K+1,K+1,I,4*O) with phase order (a,b) major.
+
+    K8[u',v',i,(a,b,o)] = K[u'-a, v'-b, i, o] (zero outside [0,K)): the
+    stride-2 conv with K8 computes all four output parities of the stride-1
+    K-tap conv at once — y[2i+a, 2j+b, o] = sum_u K[u,v] xp[2i+a+u, 2j+b+v]
+    = sum_{u'} K8[u',v',(a,b,o)] xp[2i+u', 2j+v'] with u = u'-a.
+    """
+    k = kernel.shape[0]
+    out = []
+    for a in (0, 1):
+        for b in (0, 1):
+            kk = jnp.zeros((k + 1, k + 1) + kernel.shape[2:], kernel.dtype)
+            kk = kk.at[a:a + k, b:b + k].set(kernel)
+            out.append(kk)
+    return jnp.concatenate(out, axis=-1)  # (K+1, K+1, I, 4*O)
+
+
+def conv2d_same_phase(x: jnp.ndarray, kernel: jnp.ndarray,
+                      bias: Optional[jnp.ndarray],
+                      pad_type: str = "reflect",
+                      precision=None) -> jnp.ndarray:
+    """Exact "same" KxK stride-1 conv as ONE stride-2 (K+1)x(K+1) conv +
+    depth-to-space. Requires even H, W (caller falls back otherwise).
+
+    This is the MXU-shape fix for channel-starved boundary convs: the
+    generator's first conv (Cin=3) runs the MXU contraction at 7*7*3=147
+    barely-filled lanes and its final conv (Cout=3) runs the output dim at
+    3 of 128 — measured 12.8 / 22.4 TF/s, 65 ms of the 423 ms serving step
+    (tools/profile_infer_stages.py, v5e batch 384). Phase packing trades
+    (K+1)^2/K^2 = 1.31x the MACs for contraction 8*8*Cin and output 4*Cout:
+    both boundary convs become ordinary MXU-shaped convs at half spatial
+    resolution. Exact for every pixel (the real pad happens first), so no
+    border strips are needed.
+    """
+    kh = kernel.shape[0]
+    p = kh // 2
+    b_, h, w, _ = x.shape
+    cout = kernel.shape[3]
+    xp = pad2d(x, p, pad_type)
+    k8 = _phase_packed_kernel(kernel).astype(x.dtype)
+    # padded (h+2p) minus taps (2p+2), stride 2 -> exactly h/2 positions
+    y4 = jax.lax.conv_general_dilated(
+        xp, k8, window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    y = y4.reshape(b_, h // 2, w // 2, 2, 2, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b_, h, w, cout)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 def conv2d_same(x: jnp.ndarray, kernel: jnp.ndarray,
                 bias: Optional[jnp.ndarray], pad_type: str = "reflect",
-                precision=None) -> jnp.ndarray:
+                precision=None, engine: str = "auto") -> jnp.ndarray:
     """Fused, exact equivalent of :func:`conv2d_same_reference`.
 
     x: (B, H, W, Cin); kernel: (K, K, Cin, Cout) HWIO with K odd, stride 1,
-    "same" P = K//2 padding. Interior via zero-padded conv (no HBM copy);
-    the P-pixel output border recomputed exactly on 2P-row/col input slices
-    (a strip's taps never reach its fake far boundary, and its near-side
-    reflect/replicate pad only reads rows/cols inside the slice).
+    "same" P = K//2 padding. Engines:
+
+    - ``"phase"``: stride-2 phase-packed conv + depth-to-space
+      (:func:`conv2d_same_phase`) — the win when Cin or Cout is tiny
+      (MXU shape starvation); needs even H and W.
+    - ``"strips"``: zero-padded conv (no HBM pad copy) + the P-pixel output
+      border recomputed exactly on 2P-row/col input slices (a strip's taps
+      never reach its fake far boundary, and its near-side
+      reflect/replicate pad only reads rows/cols inside the slice).
+    - ``"auto"`` (default): phase when the shape is channel-starved
+      (Cin <= 16 or Cout <= 16) and H, W are even; strips otherwise.
     """
     kh, kw = kernel.shape[0], kernel.shape[1]
     if kh != kw or kh % 2 != 1:
         raise ValueError(f"conv2d_same needs an odd square kernel, "
                          f"got {kernel.shape[:2]}")
     p = kh // 2
+    h, w = x.shape[1], x.shape[2]
+    if engine == "auto":
+        starved = x.shape[3] <= 16 or kernel.shape[3] <= 16
+        engine = ("phase" if starved and h % 2 == 0 and w % 2 == 0
+                  else "strips")
+    if engine == "phase" and h % 2 == 0 and w % 2 == 0 and p > 0:
+        return conv2d_same_phase(x, kernel, bias, pad_type, precision)
     if pad_type == "zero" or p == 0:
         return conv2d_same_reference(x, kernel, bias, "zero", precision)
-    h, w = x.shape[1], x.shape[2]
     if h < 2 * p or w < 2 * p:
         return conv2d_same_reference(x, kernel, bias, pad_type, precision)
 

@@ -58,23 +58,46 @@ def test_fused_upsample_conv_gradients_match(rng, engine):
                                    atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("engine", ["strips", "phase", "auto"])
 @pytest.mark.parametrize("pad_type", ["reflect", "replicate", "zero"])
 @pytest.mark.parametrize("ksize", [3, 5, 7])
-def test_pad_fused_conv_matches_reference(rng, pad_type, ksize):
+def test_pad_fused_conv_matches_reference(rng, pad_type, ksize, engine):
     from councilx.ops.pad_conv import conv2d_same, conv2d_same_reference
 
     r = np.random.default_rng(4)
-    x = _rand(r, 2, 9, 12, 5)
+    # phase needs even HW; strips/auto run the odd-HW shape (auto then
+    # takes the strips path, covering its even-ness gate)
+    hw = (10, 12) if engine == "phase" else (9, 12)
+    x = _rand(r, 2, *hw, 5)
     k = _rand(r, ksize, ksize, 5, 6) * 0.1
     b = _rand(r, 6) * 0.1
     ref = conv2d_same_reference(x, k, b, pad_type, precision="highest")
-    fast = conv2d_same(x, k, b, pad_type, precision="highest")
-    assert fast.shape == ref.shape == (2, 9, 12, 6)
+    fast = conv2d_same(x, k, b, pad_type, precision="highest", engine=engine)
+    assert fast.shape == ref.shape == (2, *hw, 6)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
 
 
-def test_pad_fused_conv_gradients_match(rng):
+@pytest.mark.parametrize("cin,cout", [(3, 64), (64, 3)])
+def test_pad_fused_conv_phase_boundary_shapes(rng, cin, cout):
+    # the two shipped phase-engine sites: generator first (Cin=3) and
+    # final (Cout=3) 7x7 convs; auto must pick phase (even HW, starved)
+    from councilx.ops.pad_conv import conv2d_same, conv2d_same_reference
+
+    r = np.random.default_rng(7)
+    x = _rand(r, 1, 16, 16, cin)
+    k = _rand(r, 7, 7, cin, cout) * 0.1
+    b = _rand(r, cout) * 0.1
+    ref = conv2d_same_reference(x, k, b, "reflect", precision="highest")
+    fast = conv2d_same(x, k, b, "reflect", precision="highest")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("engine", ["strips", "phase"])
+def test_pad_fused_conv_gradients_match(rng, engine):
+    import functools
+
     from councilx.ops.pad_conv import conv2d_same, conv2d_same_reference
 
     r = np.random.default_rng(5)
@@ -89,7 +112,8 @@ def test_pad_fused_conv_gradients_match(rng):
         return go
 
     g_ref = jax.grad(loss(conv2d_same_reference), (0, 1, 2))(x, k, b)
-    g_fast = jax.grad(loss(conv2d_same), (0, 1, 2))(x, k, b)
+    g_fast = jax.grad(loss(functools.partial(conv2d_same, engine=engine)),
+                      (0, 1, 2))(x, k, b)
     for a, bb in zip(g_ref, g_fast):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=3e-5, rtol=1e-4)

@@ -19,7 +19,10 @@ peak, % of step. Timing barriers are jax.device_get readbacks (tunnel-safe).
 Env: PROF_BATCH (384), PROF_SIZE (256), PROF_STEPS (10), PROF_ROUNDS (3),
 PROF_QUANT (none|w8a8_static — static scales are calibrated in-process on
 random data; scale VALUES don't affect timing, only graph structure),
-PROF_IN_PRECISION (mixed), PROF_FUSE_UP (1).
+PROF_IN_PRECISION (mixed), PROF_FUSE_UP (1), PROF_FUSE_PAD (1 — the
+boundary 7x7 convs' pad_conv engine, matching the shipped generator; TF/s
+for those stages is reported against the reference 7x7 FLOPs, so it reads
+as effective speedup).
 """
 
 import json
@@ -71,7 +74,9 @@ def build_stages(cfg, gen, params, quant_stats):
     def add(name, gm, fn):
         stages.append((name, gm, fn))
 
-    cb0 = Conv2dBlock(d, 7, 1, 3, norm="in", activation="relu", **common)
+    fpad = bool(int(os.environ.get("PROF_FUSE_PAD", "1")))
+    cb0 = Conv2dBlock(d, 7, 1, 3, norm="in", activation="relu",
+                      fuse_pad=fpad, **common)
     add("enc_conv7x7_3_64", gmacs(7, 3, d, size),
         lambda c: dict(c, x=cb0.apply(vs(p_enc["Conv2dBlock_0"], None),
                                       c["x"])))
@@ -140,7 +145,7 @@ def build_stages(cfg, gen, params, quant_stats):
     out_dim = 4 if cfg.council.focus_enabled else 3
     cbf = Conv2dBlock(out_dim, 7, 1, 3, norm="none", activation="tanh",
                       pad_type="reflect", kernel_init=gen.kernel_init,
-                      dtype=dtype)
+                      dtype=dtype, fuse_pad=fpad)
     add("dec_final7x7_tanh", gmacs(7, cd // 4, out_dim, size),
         lambda c: dict(c, x=cbf.apply({"params": p_dec["Conv2dBlock_2"]},
                                       c["x"])))
