@@ -276,6 +276,15 @@ class Config:
     # honors it outside parity_mode. Param tree/checkpoints are unchanged —
     # weights quantize in-graph.
     quant: str = "none"
+    # which conv classes quantize when quant != "none" (nn/generator.py):
+    # "resblocks" (default — where int8 measurably wins; round-4 stage
+    # profile) or "heavy" (every IN/AdaIN conv; the round-3 scheme).
+    # Calibration and serving must use the SAME scope.
+    quant_scope: str = "resblocks"
+    # boundary-conv engine for the generator's fuse_pad 7x7 convs
+    # ("auto" | "phase_fused" | "phase" | "strips" | "reference");
+    # A/B surface for nn/blocks.py::Conv2dBlock — auto is the measured best.
+    boundary_engine: str = "auto"
     # parity mode: fp32 everywhere + highest conv/matmul precision, for
     # pixel-exact comparison against the reference inference path.
     parity_mode: bool = False
@@ -420,6 +429,12 @@ class Config:
             raise ValueError(f"unsupported in_precision: {self.in_precision}")
         if self.quant not in ("none", "w8a8", "w8a8_calib", "w8a8_static"):
             raise ValueError(f"unsupported quant: {self.quant}")
+        if self.quant_scope not in ("heavy", "resblocks"):
+            raise ValueError(f"unsupported quant_scope: {self.quant_scope}")
+        if self.boundary_engine not in ("auto", "phase_fused", "phase",
+                                        "strips", "reference"):
+            raise ValueError(
+                f"unsupported boundary_engine: {self.boundary_engine}")
         if not (self.eval_member == "all"
                 or (isinstance(self.eval_member, int)
                     and 0 <= self.eval_member < self.council.council_size)):

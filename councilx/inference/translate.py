@@ -67,6 +67,9 @@ class Translator:
             use_pallas_norm=cfg.use_pallas_norm and not cfg.parity_mode,
             in_precision="f32" if cfg.parity_mode else cfg.in_precision,
             quant="none" if cfg.parity_mode else cfg.quant,
+            quant_scope=cfg.quant_scope,
+            boundary_engine=("reference" if cfg.parity_mode
+                             else cfg.boundary_engine),
             mask_activation=cfg.council.mask_activation)
         self.mask_activation = cfg.council.mask_activation
 

@@ -332,6 +332,13 @@ class Conv2dBlock(nn.Module):
     # (tools/bench_decoder_tail.py). Set on the generator's 7x7 stride-1
     # convs; identical parameter tree.
     fuse_pad: bool = False
+    # boundary-conv engine override for the fuse_pad path (A/B surface;
+    # "auto" = phase_fused when channel-starved + even H,W + fusable
+    # norm/act, else strips; explicit: "phase_fused" | "phase" | "strips"
+    # | "reference"). Composed end-to-end numbers are the only arbiter for
+    # these (chained microbenches of the same engines disagree by 2x —
+    # tools/bench_stage1.py vs the stage profile).
+    boundary_engine: str = "auto"
     # W8A8 int8 quantization of the conv (serving-only lever; ops/quant.py).
     # "none" | "w8a8" (dynamic per-image scales) | "w8a8_calib" (dynamic +
     # record running activation absmax into the "quant_stats" collection —
@@ -401,14 +408,34 @@ class Conv2dBlock(nn.Module):
         elif (self.fuse_pad and self.stride == 1
               and self.kernel_size % 2 == 1
               and self.padding == self.kernel_size // 2):
-            from councilx.ops.pad_conv import conv2d_same
+            from councilx.ops.pad_conv import (conv2d_same,
+                                               conv2d_same_phase_fused)
 
             kernel, bias = _ConvParams(
                 features=self.out_dim,
                 kernel_size=(self.kernel_size, self.kernel_size),
                 kernel_init=self.kernel_init, name="Conv_0")(x.shape[-1])
-            y = conv2d_same(x.astype(self.dtype), kernel.astype(self.dtype),
-                            bias, self.pad_type)
+            xd = x.astype(self.dtype)
+            kd = kernel.astype(self.dtype)
+            # channel-starved + even H,W -> phase engine; fold the IN and
+            # activation into the half-res phase layout so depth-to-space
+            # is the only full-res pass (round-4 stage profile: the generic
+            # tail's two extra full-res round-trips were ~75% of the first
+            # conv stage's 50 ms; ops/pad_conv.py)
+            starved = x.shape[-1] <= 16 or self.out_dim <= 16
+            fusable = (starved and self.kernel_size > 1
+                       and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                       and self.norm in ("in", "none")
+                       and not self.use_pallas_norm
+                       and self.activation != "prelu")
+            eng = self.boundary_engine
+            if fusable and eng in ("auto", "phase_fused"):
+                return conv2d_same_phase_fused(
+                    xd, kd, bias, self.pad_type, norm=self.norm,
+                    in_precision=self.in_precision,
+                    act=make_activation(self.activation))
+            y = conv2d_same(xd, kd, bias, self.pad_type,
+                            engine="auto" if eng == "phase_fused" else eng)
         else:
             x = pad2d(x, self.padding, self.pad_type)
             y = None

@@ -59,6 +59,10 @@ class ContentEncoder(nn.Module):
     # per-channel quant scales cancel exactly). The first 7x7-from-RGB conv
     # stays in the compute dtype (tiny FLOPs, quality-critical input edge).
     quant: str = "none"
+    # which conv classes quantize when quant != "none" (see AdaINGen)
+    quant_scope: str = "heavy"
+    # boundary-conv engine for the fuse_pad 7x7 (see Conv2dBlock)
+    boundary_engine: str = "auto"
     # stage-granular rematerialization (see Decoder.remat_stages): at 256px
     # batch>8 the encoder's (B,64,64,256) resblock internals are the other
     # half of the memory peak; per-stage checkpointing bounds the backward
@@ -83,6 +87,7 @@ class ContentEncoder(nn.Module):
                dtype=self.dtype, use_pallas=self.use_pallas,
                use_pallas_norm=self.use_pallas_norm,
                in_precision=self.in_precision, fuse_pad=True,
+               boundary_engine=self.boundary_engine,
                name="Conv2dBlock_0")(x)
         for i in range(self.n_downsample):
             x = CB(2 * dim, 4, 2, 1, norm="in",
@@ -91,7 +96,8 @@ class ContentEncoder(nn.Module):
                    use_pallas=self.use_pallas,
                    use_pallas_norm=self.use_pallas_norm,
                    in_precision=self.in_precision,
-                   quant=self.quant,
+                   quant=(self.quant if self.quant_scope == "heavy"
+                          else "none"),
                    name=f"Conv2dBlock_{i + 1}")(x)
             dim *= 2
         x = RB(self.n_res, dim, norm="in", activation=self.activ,
@@ -114,13 +120,15 @@ class StyleEncoder(nn.Module):
     pad_type: str = "reflect"
     kernel_init: Callable = nn.initializers.he_normal()
     dtype: Dtype = jnp.float32
+    boundary_engine: str = "auto"   # see Conv2dBlock
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = self.dim
         x = Conv2dBlock(dim, 7, 1, 3, norm="none", activation=self.activ,
                         pad_type=self.pad_type, kernel_init=self.kernel_init,
-                        dtype=self.dtype, fuse_pad=True)(x)
+                        dtype=self.dtype, fuse_pad=True,
+                        boundary_engine=self.boundary_engine)(x)
         for _ in range(2):
             x = Conv2dBlock(2 * dim, 4, 2, 1, norm="none",
                             activation=self.activ, pad_type=self.pad_type,
@@ -165,6 +173,10 @@ class Decoder(nn.Module):
     # dtype (quality-critical output edge, negligible FLOPs). See
     # ops/quant.py for the scheme and ContentEncoder.quant for the policy.
     quant: str = "none"
+    # which conv classes quantize when quant != "none" (see AdaINGen)
+    quant_scope: str = "heavy"
+    # boundary-conv engine for the fuse_pad final 7x7 (see Conv2dBlock)
+    boundary_engine: str = "auto"
     # mask-channel activation ([VERIFY] dual, see CouncilConfig): with
     # "sigmoid" the final conv emits raw pre-activations; tanh is applied to
     # the RGB channels only, the mask channel stays a logit for the caller's
@@ -215,7 +227,8 @@ class Decoder(nn.Module):
                    fuse_upsample=self.fuse_upsample,
                    use_pallas=self.use_pallas,
                    use_pallas_norm=self.use_pallas_norm,
-                   quant=self.quant,
+                   quant=(self.quant if self.quant_scope == "heavy"
+                          else "none"),
                    name=f"Conv2dBlock_{idx}")(x)
             dim //= 2
             idx += 1
@@ -224,6 +237,7 @@ class Decoder(nn.Module):
         x = CB(self.output_dim, 7, 1, 3, norm="none",
                activation="none" if sigmoid_mask else "tanh",
                pad_type=self.pad_type, fuse_pad=True,
+               boundary_engine=self.boundary_engine,
                kernel_init=self.kernel_init, dtype=self.dtype,
                name=f"Conv2dBlock_{idx}")(x)
         if sigmoid_mask:
@@ -255,6 +269,19 @@ class AdaINGen(nn.Module):
     use_pallas_norm: bool = False
     in_precision: str = "f32"   # internal precision of the in/adain norms
     quant: str = "none"         # W8A8 serving quantization (ops/quant.py)
+    # which conv classes quantize when quant != "none":
+    #   "heavy"     — downsample convs + resblocks + upsample convs (the
+    #                 round-3 scheme; every IN/AdaIN conv)
+    #   "resblocks" — the 16 3x3 resblock convs ONLY. The round-4 stage
+    #     profile showed int8 WINS on the resblocks (103 vs 114.5 ms per
+    #     group, batch-384 256px serving) but LOSES on the stride-2 downs
+    #     (27.9 vs 19.5 / 14.6 vs 12.1) and on the upsamples (the quant
+    #     path forces the phase engine over the faster bf16 dilated one:
+    #     72.3 vs 51.3 at up2) — so quantizing only where int8 wins is the
+    #     fastest serving config.
+    quant_scope: str = "resblocks"
+    # boundary-conv engine for the fuse_pad 7x7s (A/B surface; Conv2dBlock)
+    boundary_engine: str = "auto"
     mask_activation: str = "tanh_affine"  # see Decoder.mask_activation
     remat_stages: bool = False  # see Decoder.remat_stages
 
@@ -274,13 +301,14 @@ class AdaINGen(nn.Module):
             use_pallas=self.use_pallas,
             use_pallas_norm=self.use_pallas_norm,
             in_precision=self.in_precision,
-            quant=self.quant,
+            quant=self.quant, quant_scope=self.quant_scope,
+            boundary_engine=self.boundary_engine,
             remat_stages=self.remat_stages)
         self.enc_style = StyleEncoder(
             dim=self.dim, style_dim=self.style_dim,
             n_downsample=self.n_downsample, activ=self.activ,
             pad_type=self.pad_type, kernel_init=self.kernel_init,
-            dtype=self.dtype)
+            dtype=self.dtype, boundary_engine=self.boundary_engine)
         self.dec = Decoder(
             dim=self.content_dim, output_dim=self.output_dim,
             n_upsample=self.n_downsample, n_res=self.n_res, activ=self.activ,
@@ -289,7 +317,8 @@ class AdaINGen(nn.Module):
             use_pallas=self.use_pallas,
             use_pallas_norm=self.use_pallas_norm,
             in_precision=self.in_precision,
-            quant=self.quant,
+            quant=self.quant, quant_scope=self.quant_scope,
+            boundary_engine=self.boundary_engine,
             mask_activation=self.mask_activation,
             remat_stages=self.remat_stages)
         self.mlp = MLP(

@@ -92,6 +92,64 @@ def conv2d_same_phase(x: jnp.ndarray, kernel: jnp.ndarray,
     return y
 
 
+def conv2d_same_phase_fused(x: jnp.ndarray, kernel: jnp.ndarray,
+                            bias: Optional[jnp.ndarray],
+                            pad_type: str = "reflect",
+                            norm: str = "none",
+                            in_precision: str = "mixed",
+                            act=None, precision=None,
+                            eps: float = 1e-5) -> jnp.ndarray:
+    """Phase-packed same conv with instance norm + activation applied in the
+    half-res phase layout; depth-to-space runs LAST.
+
+    :func:`conv2d_same_phase` followed by Conv2dBlock's generic tail costs
+    two extra full-resolution round-trips: the d2s transpose writes the
+    full-res tensor, then the IN stats re-read it and the normalize+relu
+    re-read/re-write it (round-4 stage profile: the generator's first conv
+    stage ran at 50 ms vs a ~13 ms HBM floor at 256px batch 384). Here the
+    IN statistics pool over the four parity groups in the (B, H/2, W/2,
+    4*C) conv output — the groups are equal-sized, so pooled mean/var ==
+    full-res mean/var exactly up to float summation order — and the
+    normalize + activation fuse into the conv output, leaving d2s as the
+    only full-res pass.
+
+    ``norm``: "none" | "in" (affine-free, MUNIT InstanceNorm2d semantics);
+    ``in_precision`` matches nn.blocks.apply_instance_norm ("f32" | "mixed"
+    | "bf16"); ``act`` is an elementwise callable or None (elementwise ops
+    commute with d2s). Requires even H, W (caller falls back otherwise).
+    """
+    kh = kernel.shape[0]
+    p = kh // 2
+    b_, h, w, _ = x.shape
+    cout = kernel.shape[3]
+    xp = pad2d(x, p, pad_type)
+    k8 = _phase_packed_kernel(kernel).astype(x.dtype)
+    y4 = jax.lax.conv_general_dilated(
+        xp, k8, window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    if bias is not None:
+        # channel layout is (a, b) major: index = (2a+b)*cout + o
+        y4 = y4 + jnp.tile(bias, 4).astype(y4.dtype)
+    y5 = y4.reshape(b_, h // 2, w // 2, 4, cout)
+    if norm == "in":
+        stats_f32 = in_precision in ("f32", "mixed") \
+            and y5.dtype != jnp.float32
+        ys = y5.astype(jnp.float32) if stats_f32 else y5
+        mean = jnp.mean(ys, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(ys, axis=(1, 2, 3), keepdims=True)
+        if in_precision == "f32" and stats_f32:
+            y5 = ((ys - mean) * jax.lax.rsqrt(var + eps)).astype(y5.dtype)
+        else:
+            y5 = (y5 - mean.astype(y5.dtype)) \
+                * jax.lax.rsqrt(var + eps).astype(y5.dtype)
+    elif norm != "none":
+        raise ValueError(f"conv2d_same_phase_fused: unsupported norm {norm}")
+    if act is not None:
+        y5 = act(y5)
+    y = y5.reshape(b_, h // 2, w // 2, 2, 2, cout)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b_, h, w, cout)
+
+
 def conv2d_same(x: jnp.ndarray, kernel: jnp.ndarray,
                 bias: Optional[jnp.ndarray], pad_type: str = "reflect",
                 precision=None, engine: str = "auto") -> jnp.ndarray:
@@ -109,6 +167,7 @@ def conv2d_same(x: jnp.ndarray, kernel: jnp.ndarray,
       reflect/replicate pad only reads rows/cols inside the slice).
     - ``"auto"`` (default): phase when the shape is channel-starved
       (Cin <= 16 or Cout <= 16) and H, W are even; strips otherwise.
+    - ``"reference"``: the unfused pad2d + VALID conv (A/B baseline).
     """
     kh, kw = kernel.shape[0], kernel.shape[1]
     if kh != kw or kh % 2 != 1:
@@ -116,6 +175,8 @@ def conv2d_same(x: jnp.ndarray, kernel: jnp.ndarray,
                          f"got {kernel.shape[:2]}")
     p = kh // 2
     h, w = x.shape[1], x.shape[2]
+    if engine == "reference":
+        return conv2d_same_reference(x, kernel, bias, pad_type, precision)
     if engine == "auto":
         starved = x.shape[3] <= 16 or kernel.shape[3] <= 16
         engine = ("phase" if starved and h % 2 == 0 and w % 2 == 0

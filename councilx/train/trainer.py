@@ -113,6 +113,8 @@ class CouncilTrainer:
             fuse_upsample=cfg.fuse_upsample and not cfg.parity_mode,
             use_pallas=use_pallas, use_pallas_norm=use_pallas_norm,
             in_precision="f32" if cfg.parity_mode else cfg.in_precision,
+            boundary_engine=("reference" if cfg.parity_mode
+                             else cfg.boundary_engine),
             mask_activation=cfg.council.mask_activation,
             remat_stages=cfg.remat_stages)
         self.mask_activation = cfg.council.mask_activation

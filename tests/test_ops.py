@@ -130,6 +130,96 @@ def test_pad_fused_conv_small_input_falls_back(rng):
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("norm,act", [("in", "relu"), ("in", "none"),
+                                      ("none", "tanh"), ("none", "relu")])
+@pytest.mark.parametrize("pad_type", ["reflect", "replicate"])
+def test_phase_fused_norm_act_matches_reference(rng, norm, act, pad_type):
+    # conv2d_same_phase_fused == pad+conv -> IN -> act (the Conv2dBlock
+    # tail), with IN stats pooled over the parity groups pre-d2s
+    from councilx.nn.blocks import apply_instance_norm, make_activation
+    from councilx.ops.pad_conv import (conv2d_same_phase_fused,
+                                       conv2d_same_reference)
+
+    r = np.random.default_rng(8)
+    x = _rand(r, 2, 12, 16, 3)
+    k = _rand(r, 7, 7, 3, 6) * 0.1
+    b = _rand(r, 6) * 0.1
+    a_fn = make_activation(act)
+    ref = conv2d_same_reference(x, k, b, pad_type, precision="highest")
+    if norm == "in":
+        ref = apply_instance_norm(ref, "f32")
+    if a_fn is not None:
+        ref = a_fn(ref)
+    fast = conv2d_same_phase_fused(x, k, b, pad_type, norm=norm,
+                                   in_precision="f32", act=a_fn,
+                                   precision="highest")
+    assert fast.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_phase_fused_in_precision_modes(rng):
+    # the three in_precision modes coincide exactly at f32 input
+    from councilx.ops.pad_conv import conv2d_same_phase_fused
+
+    r = np.random.default_rng(9)
+    x = _rand(r, 1, 8, 8, 3)
+    k = _rand(r, 7, 7, 3, 4) * 0.1
+    outs = [conv2d_same_phase_fused(x, k, None, "reflect", norm="in",
+                                    in_precision=p, precision="highest")
+            for p in ("f32", "mixed", "bf16")]
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[2]),
+                               atol=1e-6)
+
+
+def test_phase_fused_gradients_match(rng):
+    from councilx.nn.blocks import apply_instance_norm
+    from councilx.ops.pad_conv import (conv2d_same_phase_fused,
+                                       conv2d_same_reference)
+
+    r = np.random.default_rng(10)
+    x = _rand(r, 1, 8, 8, 3)
+    k = _rand(r, 7, 7, 3, 4) * 0.1
+    b = _rand(r, 4) * 0.1
+
+    def loss_ref(x, k, b):
+        y = apply_instance_norm(
+            conv2d_same_reference(x, k, b, "reflect", precision="highest"),
+            "f32")
+        return jnp.sum(jnp.sin(y))
+
+    def loss_fast(x, k, b):
+        y = conv2d_same_phase_fused(x, k, b, "reflect", norm="in",
+                                    in_precision="f32", precision="highest")
+        return jnp.sum(jnp.sin(y))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, b)
+    g_fast = jax.grad(loss_fast, argnums=(0, 1, 2))(x, k, b)
+    for a, bb in zip(g_ref, g_fast):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_conv2dblock_fuse_pad_phase_fused_parity(rng):
+    # Conv2dBlock(fuse_pad) output is unchanged by the phase-fused tail
+    # (same params, same function) vs the generic norm/act tail
+    from councilx.nn.blocks import Conv2dBlock
+
+    r = np.random.default_rng(11)
+    x = _rand(r, 2, 12, 12, 3)
+    blk_fused = Conv2dBlock(8, 7, 1, 3, norm="in", activation="relu",
+                            pad_type="reflect", fuse_pad=True)
+    blk_plain = Conv2dBlock(8, 7, 1, 3, norm="in", activation="relu",
+                            pad_type="reflect", fuse_pad=False)
+    params = blk_fused.init(jax.random.PRNGKey(0), x)
+    y_fused = blk_fused.apply(params, x)
+    y_plain = blk_plain.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_tiny_input_falls_back(rng):
     r = np.random.default_rng(2)
     x = _rand(r, 1, 3, 3, 2)

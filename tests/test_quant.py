@@ -219,6 +219,30 @@ class TestStaticQuant:
         mad = np.abs(u_f - u_s).mean()
         assert mad < 8.0, f"mean abs uint8 diff {mad:.2f}"
 
+    @pytest.mark.parametrize("scope", ["resblocks", "heavy"])
+    def test_quant_scope_selects_conv_classes(self, scope):
+        """quant_scope controls WHICH convs grow quant branches: 'resblocks'
+        records stats only under the ResBlocks subtrees; 'heavy' also under
+        the encoder down-convs and decoder upsample convs (nn/generator.py —
+        round-4 stage profile: int8 wins on resblocks, loses elsewhere)."""
+        from councilx.inference.translate import Translator
+
+        cfg = tiny_config()
+        cfg.quant_scope = scope
+        tr = Translator(cfg)
+        gen_c = tr.gen.copy(quant="w8a8_calib")
+        dummy = np.zeros((1, 32, 32, 3), np.float32)
+        stats = gen_c.init(jax.random.PRNGKey(0), dummy)["quant_stats"]
+        tops = {k: set(v.keys()) for k, v in stats.items()}
+        assert "ResBlocks_0" in tops.get("enc_content", set())
+        assert "ResBlocks_0" in tops.get("dec", set())
+        non_res = [k for sub in tops.values() for k in sub
+                   if not k.startswith("ResBlocks")]
+        if scope == "resblocks":
+            assert not non_res, non_res
+        else:
+            assert any(k.startswith("Conv2dBlock") for k in non_res)
+
     def test_static_requires_stats(self):
         from councilx.inference.translate import Translator
 

@@ -11,13 +11,19 @@ cost_analysis is unavailable through the runtime).
 
 Env: INFER_BATCH (64) or INFER_SWEEP="16,32,64,128" (one JSON line each),
 INFER_STEPS (20), INFER_SIZE (256), INFER_PALLAS (0), INFER_IN_PRECISION
-(f32/mixed/bf16), INFER_QUANT (none/w8a8: int8 generator convs,
-ops/quant.py), INFER_BF16_PARAMS (0/1: keep the weights RESIDENT in
-bfloat16 — halves weight-read traffic vs casting f32 params every call),
-INFER_ALL_MEMBERS (1; 0 skips the all-members call — its effective batch
-is 4x and OOMs HBM beyond ~batch 128 at 256px).
+(f32/mixed/bf16), INFER_QUANT (none/w8a8/w8a8_static: int8 generator
+convs, ops/quant.py; static scales are calibrated in-process on random
+data — scale VALUES don't affect timing, only graph structure),
+INFER_BF16_PARAMS (0/1: keep the weights RESIDENT in bfloat16 — halves
+weight-read traffic vs casting f32 params every call), INFER_ALL_MEMBERS
+(1; 0 skips the all-members call — its effective batch is 4x and OOMs HBM
+beyond ~batch 128 at 256px), INFER_AB ("none,w8a8_static": interleave the
+listed quant variants in ONE process — run-to-run drift across processes
+is ~2x, so only interleaved ratios are trustworthy; CLAUDE.md),
+INFER_ROUNDS (3, A/B interleave rounds).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -48,14 +54,41 @@ def cost_analysis(jitted, *args):
         return None, None
 
 
+def calibrate_stats(gen, params, x, z):
+    """Run one w8a8_calib pass in-process and return host quant_stats.
+
+    Scale VALUES don't affect throughput (they bake in as constants), only
+    the graph structure does, so random-data calibration is a valid timing
+    stand-in for tools/calibrate_quant.py output.
+    """
+    from councilx.nn.generator import AdaINGen
+
+    gen_c = gen.copy(quant="w8a8_calib")
+    dummy = jnp.zeros((1,) + x.shape[1:], jnp.float32)
+    stats0 = gen_c.init(jax.random.PRNGKey(1), dummy)["quant_stats"]
+
+    @jax.jit
+    def calib(stats, x, z):
+        c, upd = gen_c.apply({"params": params, "quant_stats": stats},
+                             x, method=AdaINGen.encode_content,
+                             mutable=["quant_stats"])
+        _, upd = gen_c.apply(
+            {"params": params, "quant_stats": upd["quant_stats"]},
+            c, z, method=AdaINGen.decode, mutable=["quant_stats"])
+        return upd["quant_stats"]
+
+    return jax.device_get(calib(stats0, x[:8], z[:8]))
+
+
 def run_one(batch, size, steps, cfg, bf16_params):
-    tr = Translator(cfg)
     r = np.random.RandomState(0)
     x = jnp.asarray(r.uniform(-1, 1, (batch, size, size, 3))
                     .astype(np.float32))
     dummy = jnp.zeros((1, size, size, 3), jnp.float32)
     n = cfg.council_size
-    params = jax.vmap(tr.gen.init, in_axes=(0, None))(
+    probe = Translator(dataclasses.replace(cfg, quant="none")
+                       if cfg.quant != "none" else cfg)
+    params = jax.vmap(probe.gen.init, in_axes=(0, None))(
         jax.random.split(jax.random.PRNGKey(0), n), dummy)["params"]
     p0 = jax.tree_util.tree_map(lambda l: l[0], params)
     if bf16_params:
@@ -68,44 +101,89 @@ def run_one(batch, size, steps, cfg, bf16_params):
     z1 = jnp.zeros((batch, cfg.gen.style_dim), jnp.float32)
     zn = jnp.zeros((n, batch, cfg.gen.style_dim), jnp.float32)
 
-    def timeit(fn, *args):
-        out = fn(*args)
+    ab = os.environ.get("INFER_AB")
+
+    def parse_variant(s):
+        # "field=value" or a bare quant value ("none"/"w8a8_static"/...)
+        f, _, v = s.strip().partition("=")
+        return (f, v) if v else ("quant", f)
+
+    variants = ([parse_variant(v) for v in ab.split(",")] if ab
+                else [("quant", cfg.quant)])
+    labels = [f"{f}={v}" for f, v in variants]
+    rounds = (int(os.environ.get("INFER_ROUNDS", "3"))
+              if len(variants) > 1 else 1)
+    all_members = int(os.environ.get("INFER_ALL_MEMBERS", "1"))
+
+    trs = {}
+    for (f, v), label in zip(variants, labels):
+        cfg_v = dataclasses.replace(cfg, **{f: v})
+        qs = (calibrate_stats(
+                  probe.gen.copy(quant_scope=cfg_v.quant_scope,
+                                 boundary_engine=cfg_v.boundary_engine),
+                  p0, x, z1)
+              if cfg_v.quant == "w8a8_static" else None)
+        trs[label] = Translator(cfg_v, quant_stats=qs)
+
+    def timeit(fn):
+        out = fn()
         jax.device_get(jax.tree_util.tree_leaves(out)[0][:1])
         t0 = time.perf_counter()
         for _ in range(steps):
-            out = fn(*args)
+            out = fn()
         jax.device_get(jax.tree_util.tree_leaves(out)[0][:1])
         return (time.perf_counter() - t0) / steps
 
-    t1 = timeit(lambda: tr._translate(p0, x, z1))
-    tn = (timeit(lambda: tr._translate_all_members(params, x, zn))
-          if int(os.environ.get("INFER_ALL_MEMBERS", "1")) else None)
-    flops, nbytes = cost_analysis(tr._translate, p0, x, z1)
-    if flops is None:  # analytic fallback: ~71 GMAC/img at 256px
-        flops = 2 * 71e9 * (size / 256) ** 2 * batch
-        nbytes = 0.0
+    t1s = {v: 0.0 for v in labels}
+    tns = {v: 0.0 for v in labels}
+    for _ in range(rounds):
+        for v, tr in trs.items():
+            t1s[v] += timeit(lambda tr=tr: tr._translate(p0, x, z1))
+            if all_members:
+                tns[v] += timeit(
+                    lambda tr=tr: tr._translate_all_members(params, x, zn))
 
-    ips1 = batch / t1
-    out = {
-        "metric": "inference_images_per_sec",
-        "batch": batch, "size": size,
-        "bf16_params": bool(bf16_params),
-        "in_precision": cfg.in_precision,
-        "quant": cfg.quant,
-        "single_member_img_s": round(ips1, 1),
-        "all4_members_img_s": (round(batch * n / tn, 1)
-                               if tn is not None else None),
-        "single_member_ms": round(t1 * 1e3, 1),
-        "xla_gflops_per_img": round(flops / batch / 1e9, 1),
-        "xla_mbytes_per_img": round(nbytes / batch / 1e6, 2),
-        "achieved_tflops": round(flops / t1 / 1e12, 1),
-        "achieved_gbytes_s": round(nbytes / t1 / 1e9, 1),
-        "compute_roofline_pct": round(100 * flops / t1 / V5E_PEAK_BF16, 1),
-        "hbm_roofline_pct": round(100 * nbytes / t1 / V5E_PEAK_HBM, 1),
-        "reference_mode": "batch-1 python loop (unbatched)",
-    }
-    print(json.dumps(out))
-    return out
+    results = {}
+    for v, tr in trs.items():
+        t1 = t1s[v] / rounds
+        tn = tns[v] / rounds if all_members else None
+        flops, nbytes = cost_analysis(tr._translate, p0, x, z1)
+        if flops is None:  # analytic fallback: ~71 GMAC/img at 256px
+            flops = 2 * 71e9 * (size / 256) ** 2 * batch
+            nbytes = 0.0
+
+        ips1 = batch / t1
+        out = {
+            "metric": "inference_images_per_sec",
+            "batch": batch, "size": size,
+            "bf16_params": bool(bf16_params),
+            "in_precision": cfg.in_precision,
+            "quant": tr.cfg.quant,
+            "variant": v,
+            "single_member_img_s": round(ips1, 1),
+            "all4_members_img_s": (round(batch * n / tn, 1)
+                                   if tn else None),
+            "single_member_ms": round(t1 * 1e3, 1),
+            "xla_gflops_per_img": round(flops / batch / 1e9, 1),
+            "xla_mbytes_per_img": round(nbytes / batch / 1e6, 2),
+            "achieved_tflops": round(flops / t1 / 1e12, 1),
+            "achieved_gbytes_s": round(nbytes / t1 / 1e9, 1),
+            "compute_roofline_pct": round(
+                100 * flops / t1 / V5E_PEAK_BF16, 1),
+            "hbm_roofline_pct": round(100 * nbytes / t1 / V5E_PEAK_HBM, 1),
+            "reference_mode": "batch-1 python loop (unbatched)",
+        }
+        print(json.dumps(out))
+        results[v] = out
+    if len(labels) == 2:
+        a, b = labels
+        print(json.dumps({
+            "metric": "inference_ab_ratio", "batch": batch,
+            "a": a, "b": b, "rounds": rounds,
+            "ratio_b_over_a": round(
+                results[b]["single_member_img_s"]
+                / results[a]["single_member_img_s"], 3)}))
+    return results[labels[0]]
 
 
 def main():

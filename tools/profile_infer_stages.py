@@ -19,6 +19,8 @@ peak, % of step. Timing barriers are jax.device_get readbacks (tunnel-safe).
 Env: PROF_BATCH (384), PROF_SIZE (256), PROF_STEPS (10), PROF_ROUNDS (3),
 PROF_QUANT (none|w8a8_static — static scales are calibrated in-process on
 random data; scale VALUES don't affect timing, only graph structure),
+PROF_QUANT_SCOPE (resblocks|heavy — which conv classes quantize, matching
+cfg.quant_scope; nn/generator.py),
 PROF_IN_PRECISION (mixed), PROF_FUSE_UP (1), PROF_FUSE_PAD (1 — the
 boundary 7x7 convs' pad_conv engine, matching the shipped generator; TF/s
 for those stages is reported against the reference 7x7 FLOPs, so it reads
@@ -54,6 +56,9 @@ def build_stages(cfg, gen, params, quant_stats):
     common = dict(pad_type="reflect", kernel_init=gen.kernel_init,
                   dtype=dtype, in_precision=cfg.in_precision)
     q = cfg.quant
+    # scope: "heavy" quantizes downs + resblocks + upsamples; "resblocks"
+    # only the 3x3 resblock convs (the shipped default; nn/generator.py)
+    q_heavy = q if cfg.quant_scope == "heavy" else "none"
 
     def vs(sub, scope):
         v = {"params": sub}
@@ -82,14 +87,14 @@ def build_stages(cfg, gen, params, quant_stats):
                                       c["x"])))
 
     cb1 = Conv2dBlock(2 * d, 4, 2, 1, norm="in", activation="relu",
-                      quant=q, **common)
+                      quant=q_heavy, **common)
     add("enc_down1_64_128", gmacs(4, d, 2 * d, s2),
         lambda c: dict(c, x=cb1.apply(
             vs(p_enc["Conv2dBlock_1"], ("enc_content", "Conv2dBlock_1")),
             c["x"])))
 
     cb2 = Conv2dBlock(4 * d, 4, 2, 1, norm="in", activation="relu",
-                      quant=q, **common)
+                      quant=q_heavy, **common)
     add("enc_down2_128_256", gmacs(4, 2 * d, 4 * d, s4),
         lambda c: dict(c, x=cb2.apply(
             vs(p_enc["Conv2dBlock_2"], ("enc_content", "Conv2dBlock_2")),
@@ -130,13 +135,15 @@ def build_stages(cfg, gen, params, quant_stats):
 
     fuse = bool(int(os.environ.get("PROF_FUSE_UP", "1")))
     up0 = Conv2dBlock(cd // 2, 5, 1, 2, norm="ln", activation="relu",
-                      upsample2x=True, fuse_upsample=fuse, quant=q, **common)
+                      upsample2x=True, fuse_upsample=fuse, quant=q_heavy,
+                      **common)
     add("dec_up1_256_128", gmacs(5, cd, cd // 2, s2) * (9 / 25 if fuse else 1),
         lambda c: dict(c, x=up0.apply(
             vs(p_dec["Conv2dBlock_0"], ("dec", "Conv2dBlock_0")), c["x"])))
 
     up1 = Conv2dBlock(cd // 4, 5, 1, 2, norm="ln", activation="relu",
-                      upsample2x=True, fuse_upsample=fuse, quant=q, **common)
+                      upsample2x=True, fuse_upsample=fuse, quant=q_heavy,
+                      **common)
     add("dec_up2_128_64", gmacs(5, cd // 2, cd // 4, size)
         * (9 / 25 if fuse else 1),
         lambda c: dict(c, x=up1.apply(
@@ -175,11 +182,12 @@ def main():
     steps = int(os.environ.get("PROF_STEPS", "10"))
     rounds = int(os.environ.get("PROF_ROUNDS", "3"))
     quant = os.environ.get("PROF_QUANT", "none")
+    qscope = os.environ.get("PROF_QUANT_SCOPE", "resblocks")
 
     cfg = Config.from_dict({
         "batch_size": batch, "compute_dtype": "bfloat16",
         "in_precision": os.environ.get("PROF_IN_PRECISION", "mixed"),
-        "quant": quant,
+        "quant": quant, "quant_scope": qscope,
         "council": {"council_size": 1, "council_w": 0.0},
         "focus_loss": {"focus_enabled": True},
         "gen": {"dim": 64, "mlp_dim": 256, "style_dim": 8,
@@ -197,7 +205,7 @@ def main():
     # init params quant-agnostically (tree is identical in every mode)
     probe = Translator(Config.from_dict({
         "batch_size": batch, "compute_dtype": "bfloat16",
-        "in_precision": cfg.in_precision,
+        "in_precision": cfg.in_precision, "quant_scope": qscope,
         "council": {"council_size": 1, "council_w": 0.0},
         "focus_loss": {"focus_enabled": True},
         "gen": {"dim": 64, "mlp_dim": 256, "style_dim": 8,
