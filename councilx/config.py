@@ -254,8 +254,11 @@ class Config:
     # compute dtype for the forward/backward pass ("bfloat16" or "float32");
     # parameters and optimizer state always stay float32.
     compute_dtype: str = "bfloat16"
-    # internal precision of the instance-norm/AdaIN stats under bfloat16
-    # compute ("f32" | "mixed" | "bf16" — see nn.blocks.apply_instance_norm).
+    # internal precision of the instance-norm/AdaIN/MUNIT-LayerNorm stats
+    # under bfloat16 compute ("f32" | "mixed" | "bf16" — see
+    # nn.blocks.apply_instance_norm and MunitLayerNorm.precision; round 4
+    # extends it to the decoder's LN, whose full-res f32 round-trip is
+    # avoidable HBM traffic on the serving path).
     # Measured end-to-end (BASELINE.md r3): f32 13.473 / mixed 13.529 /
     # bf16 13.531 img/s/chip at the headline config — the isolated ResBlock
     # cliff (25-53 vs 99 TF/s) mostly vanishes inside the fused full step.

@@ -181,26 +181,42 @@ class MunitLayerNorm(nn.Module):
     eps: float = 1e-5
     affine: bool = True
     dtype: Dtype = jnp.float32
+    # internal precision, mirroring apply_instance_norm ("f32" | "mixed" |
+    # "bf16"): "f32" round-trips the full tensor through f32 (the
+    # torch-parity formula; 2x the normalize-pass HBM bytes under a bf16
+    # compute dtype); "mixed" reduces the per-sample stats in f32 but
+    # normalizes + applies affine in the compute dtype; "bf16" does
+    # everything in the compute dtype. All three coincide at f32 input.
+    precision: str = "f32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         orig_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
+        xs = (x if self.precision == "bf16" else x.astype(jnp.float32))
         axes = tuple(range(1, x.ndim))
         n = 1
         for a in axes:
             n *= x.shape[a]
-        mean = jnp.mean(x32, axis=axes, keepdims=True)
-        var_b = jnp.var(x32, axis=axes, keepdims=True)
+        mean = jnp.mean(xs, axis=axes, keepdims=True)
+        var_b = jnp.var(xs, axis=axes, keepdims=True)
         std = jnp.sqrt(var_b * (n / (n - 1)))  # unbiased, like torch .std()
-        out = (x32 - mean) / (std + self.eps)
+        gamma = beta = None
         if self.affine:
             gamma = self.param("gamma", nn.initializers.uniform(scale=1.0),
                                (self.num_features,), jnp.float32)
             beta = self.param("beta", nn.initializers.zeros,
                               (self.num_features,), jnp.float32)
-            out = out * gamma + beta
-        return out.astype(orig_dtype)
+        if self.precision == "f32":
+            out = (x.astype(jnp.float32) - mean) / (std + self.eps)
+            if self.affine:
+                out = out * gamma + beta
+            return out.astype(orig_dtype)
+        # mixed/bf16: per-sample scalar stats; normalize in compute dtype
+        inv = (1.0 / (std + self.eps)).astype(orig_dtype)
+        out = (x - mean.astype(orig_dtype)) * inv
+        if self.affine:
+            out = out * gamma.astype(orig_dtype) + beta.astype(orig_dtype)
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -473,7 +489,8 @@ class Conv2dBlock(nn.Module):
                 y = apply_instance_norm(y.astype(self.dtype),
                                         self.in_precision)
         elif self.norm == "ln":
-            y = MunitLayerNorm(num_features=self.out_dim, dtype=self.dtype)(y)
+            y = MunitLayerNorm(num_features=self.out_dim, dtype=self.dtype,
+                               precision=self.in_precision)(y)
         elif self.norm == "bn":
             # batch norm (unused by the shipped configs; MUNIT option kept)
             y = nn.BatchNorm(use_running_average=False, momentum=0.9,

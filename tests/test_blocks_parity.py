@@ -84,6 +84,29 @@ def test_munit_layernorm_parity(rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=ATOL, rtol=0)
 
 
+def test_munit_layernorm_precision_modes(rng):
+    # the three precision modes coincide exactly at f32 input, and the
+    # mixed/bf16 modes stay close to the f32 round-trip at bf16 input
+    # (per-sample scalar stats; round-4 serving traffic fix)
+    x = rng.randn(3, 8, 8, 5).astype(np.float32)
+    params = {"gamma": rng.rand(5).astype(np.float32),
+              "beta": rng.randn(5).astype(np.float32)}
+    outs = [MunitLayerNorm(num_features=5, precision=p).apply(
+                {"params": params}, jnp.asarray(x))
+            for p in ("f32", "mixed", "bf16")]
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]),
+                               atol=1e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[2]),
+                               atol=1e-6, rtol=0)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    o_f32 = MunitLayerNorm(num_features=5, precision="f32").apply(
+        {"params": params}, xb).astype(jnp.float32)
+    o_mix = MunitLayerNorm(num_features=5, precision="mixed").apply(
+        {"params": params}, xb).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(o_mix), np.asarray(o_f32),
+                               atol=0.05, rtol=0.02)
+
+
 def test_avg_pool_count_include_pad_false(rng):
     x = rng.randn(2, 15, 17, 3).astype(np.float32)
     pool = torch.nn.AvgPool2d(3, stride=2, padding=[1, 1],
