@@ -12,18 +12,35 @@ set -u
 OUT=${1:-/tmp/soak}
 CFG=configs/soak_256_council4.yaml
 TOTAL=${SOAK_TOTAL:-1000}
-KILL_AFTER=${SOAK_KILL_AFTER:-900}   # seconds into leg 1 (past compile)
+# SIGTERM lands on PROGRESS, not wall time: leg 1 is killed once
+# metrics.jsonl reports step >= SOAK_KILL_STEP, so compile-time variance
+# (10-30 min through the dev tunnel) can neither fire the kill during
+# compile nor let leg 1 finish before it.
+KILL_STEP=${SOAK_KILL_STEP:-600}
+KILL_TIMEOUT=${SOAK_KILL_TIMEOUT:-3600}   # safety: max seconds to wait
 
 rm -rf "$OUT"
-echo "=== leg 1: fresh run, SIGTERM after ${KILL_AFTER}s ==="
+echo "=== leg 1: fresh run, SIGTERM at step >= ${KILL_STEP} ==="
 python train.py --config "$CFG" --synthetic --max_steps "$TOTAL" \
     --output_path "$OUT" &
 PID=$!
-sleep "$KILL_AFTER"
-if kill -0 "$PID" 2>/dev/null; then
-    echo "=== sending SIGTERM to $PID ==="
-    kill -TERM "$PID"
-fi
+METRICS="$OUT/soak_256_council4/metrics.jsonl"
+WAITED=0
+while kill -0 "$PID" 2>/dev/null; do
+    LAST=$(grep -o '"step": [0-9]*' "$METRICS" 2>/dev/null | tail -1 \
+           | grep -o '[0-9]*' || true)
+    if [ -n "${LAST:-}" ] && [ "$LAST" -ge "$KILL_STEP" ]; then
+        echo "=== step $LAST >= $KILL_STEP: sending SIGTERM to $PID ==="
+        kill -TERM "$PID"
+        break
+    fi
+    if [ "$WAITED" -ge "$KILL_TIMEOUT" ]; then
+        echo "=== kill timeout (${KILL_TIMEOUT}s) at step ${LAST:-none}: SIGTERM anyway ==="
+        kill -TERM "$PID"
+        break
+    fi
+    sleep 10; WAITED=$((WAITED + 10))
+done
 wait "$PID"; RC1=$?
 echo "=== leg 1 exit code: $RC1 (graceful drain should be 0) ==="
 
