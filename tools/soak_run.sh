@@ -44,7 +44,10 @@ done
 wait "$PID"; RC1=$?
 echo "=== leg 1 exit code: $RC1 (graceful drain should be 0) ==="
 
-echo "=== leg 2: resume to $TOTAL steps ==="
+# NOTE: --max_steps counts steps THIS RUN (train/loop.py: limit =
+# max_steps + start_step), so leg 2 runs up to $TOTAL further steps after
+# the resume point — the combined soak exceeds $TOTAL total steps.
+echo "=== leg 2: resume, up to $TOTAL further steps ==="
 python train.py --config "$CFG" --synthetic --max_steps "$TOTAL" \
     --output_path "$OUT" --resume
 RC2=$?
