@@ -18,9 +18,10 @@ BENCH_COUNCIL (4), BENCH_PALLAS (0/1: pallas conv kernels),
 BENCH_REMAT (0/1: member-level generator remat), BENCH_REMAT_STAGES (0/1:
 stage-granular encoder/decoder remat), BENCH_MU_BF16 (0/1: bf16 Adam first
 moments), BENCH_IN_PRECISION (f32/mixed/bf16 instance-norm internals —
-defaults to the Config default), BENCH_GEN_CHUNKS (member chunks for the
-gen update, council-8 single-chip). The batch-16 sweep built from these is
-in BASELINE.md.
+defaults to the Config default), BENCH_NORM_STATS (two_pass/one_pass norm
+statistics — see Config.norm_stats), BENCH_GEN_CHUNKS (member chunks for
+the gen update, council-8 single-chip). The batch-16 sweep built from these
+is in BASELINE.md.
 """
 
 import json
@@ -53,6 +54,8 @@ def headline_config(batch: int = 8, council: int = 4) -> Config:
                           else "float32"),
         **({"in_precision": os.environ["BENCH_IN_PRECISION"]}
            if "BENCH_IN_PRECISION" in os.environ else {}),
+        **({"norm_stats": os.environ["BENCH_NORM_STATS"]}
+           if "BENCH_NORM_STATS" in os.environ else {}),
         "gen_member_chunks": int(os.environ.get("BENCH_GEN_CHUNKS", "1")),
         "council": {"council_size": council, "council_w": 0.2,
                     "council_start_at_iter": 0},

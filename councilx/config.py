@@ -266,6 +266,19 @@ class Config:
     # numerically safer of the two fast variants); forced to "f32" in
     # parity_mode and a no-op under float32 compute.
     in_precision: str = "mixed"
+    # mean/var reduction scheme for every in/adain/ln norm
+    # (nn.blocks.norm_mean_var):
+    #   "two_pass" — jnp.mean then jnp.var; the var reduce depends on the
+    #                mean, so stats READ THE TENSOR TWICE (torch-parity
+    #                rounding class; the default)
+    #   "one_pass" — E[x] and E[x^2] as sibling reductions XLA multi-output-
+    #                fuses into ONE read; var = max(E[x^2]-mean^2, 0) differs
+    #                by float cancellation (~|mean|^2/var * 1e-7 relative at
+    #                f32 stats), not just summation order — config-gated for
+    #                that reason and forced to "two_pass" in parity_mode.
+    # The generator normalizes 19 tensors per forward; stats passes are pure
+    # HBM bandwidth, so one_pass removes ~1/3 of all norm traffic.
+    norm_stats: str = "two_pass"
     # W8A8 int8 quantization of the generator's heavy convs on the SERVING
     # path only (ops/quant.py; tools/bench_int8.py for the MXU numbers):
     #   "none"        — bf16 convs (default)
@@ -430,6 +443,8 @@ class Config:
             raise ValueError(f"unsupported compute_dtype: {self.compute_dtype}")
         if self.in_precision not in ("f32", "mixed", "bf16"):
             raise ValueError(f"unsupported in_precision: {self.in_precision}")
+        if self.norm_stats not in ("two_pass", "one_pass"):
+            raise ValueError(f"unsupported norm_stats: {self.norm_stats}")
         if self.quant not in ("none", "w8a8", "w8a8_calib", "w8a8_static"):
             raise ValueError(f"unsupported quant: {self.quant}")
         if self.quant_scope not in ("heavy", "resblocks"):

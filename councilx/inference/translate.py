@@ -66,6 +66,7 @@ class Translator:
             use_pallas=cfg.use_pallas and not cfg.parity_mode,
             use_pallas_norm=cfg.use_pallas_norm and not cfg.parity_mode,
             in_precision="f32" if cfg.parity_mode else cfg.in_precision,
+            in_stats="two_pass" if cfg.parity_mode else cfg.norm_stats,
             quant="none" if cfg.parity_mode else cfg.quant,
             quant_scope=cfg.quant_scope,
             boundary_engine=("reference" if cfg.parity_mode

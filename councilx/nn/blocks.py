@@ -105,19 +105,46 @@ def pad2d(x: jnp.ndarray, padding: int, pad_type: str) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def norm_mean_var(x: jnp.ndarray, axes, stats: str = "two_pass"):
+    """Mean and *biased* variance over ``axes`` (keepdims), two ways.
+
+    "two_pass" — ``jnp.mean`` then ``jnp.var``: the var reduction depends on
+    the already-computed mean, so XLA must read the tensor TWICE for stats
+    (plus once more to normalize). Torch-parity rounding class.
+
+    "one_pass" — ``E[x]`` and ``E[x^2]`` as two SIBLING reductions of the
+    same input with no interdependence: XLA multi-output-fuses them into a
+    single read, halving norm-stats HBM traffic (stats passes are pure
+    bandwidth — every IN/AdaIN/LN tensor in the generator is read 3x under
+    two_pass, 2x under one_pass). ``var = max(E[x^2] - mean^2, 0)`` differs
+    from the two-pass value by float *cancellation* (~|mean|^2/var * eps_f32
+    relative), not merely summation order — so this mode is config-gated
+    (Config.norm_stats) and forced off in parity mode.
+    """
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    if stats == "one_pass":
+        ex2 = jnp.mean(jnp.square(x), axis=axes, keepdims=True)
+        var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    elif stats == "two_pass":
+        var = jnp.var(x, axis=axes, keepdims=True)
+    else:
+        raise ValueError(f"unknown norm_stats mode: {stats}")
+    return mean, var
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
+                  stats: str = "two_pass") -> jnp.ndarray:
     """InstanceNorm2d(affine=False), NHWC: per-(sample, channel) over H, W.
 
     PyTorch normalizes with the *biased* variance — so do we.
     Reference parity: nn.InstanceNorm2d as used in networks.py::Conv2dBlock.
     """
-    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
-    var = jnp.var(x, axis=(-3, -2), keepdims=True)
+    mean, var = norm_mean_var(x, (-3, -2), stats)
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 
 def adain(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
-          eps: float = 1e-5) -> jnp.ndarray:
+          eps: float = 1e-5, stats: str = "two_pass") -> jnp.ndarray:
     """Adaptive instance norm: instance-normalize then scale/shift.
 
     ``gamma``/``beta`` are (B, C) slices of the style-MLP output. The
@@ -125,12 +152,13 @@ def adain(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     AdaINGen.assign_adain_params) uses the raw MLP outputs: weight = std-half,
     bias = mean-half, no exp/softplus — identical here.
     """
-    out = instance_norm(x, eps)
+    out = instance_norm(x, eps, stats)
     return out * gamma[:, None, None, :] + beta[:, None, None, :]
 
 
 def apply_instance_norm(y: jnp.ndarray, precision: str,
-                        eps: float = 1e-5) -> jnp.ndarray:
+                        eps: float = 1e-5,
+                        stats: str = "two_pass") -> jnp.ndarray:
     """Instance norm at a chosen internal precision (BASELINE.md ResBlock
     composition cliff: the f32 round-trip inside an otherwise-bf16 resblock
     runs 25-53 TF/s vs ~99 with bf16 IN on v5e).
@@ -141,28 +169,30 @@ def apply_instance_norm(y: jnp.ndarray, precision: str,
                 the compute dtype
       "bf16"  — everything in the compute dtype
 
-    All three coincide exactly when y is float32.
+    All three coincide exactly when y is float32. ``stats`` picks the
+    mean/var reduction scheme (see norm_mean_var).
     """
     if precision == "f32":
-        return instance_norm(y.astype(jnp.float32), eps).astype(y.dtype)
+        return instance_norm(y.astype(jnp.float32), eps,
+                             stats).astype(y.dtype)
     if precision == "mixed":
         y32 = y.astype(jnp.float32)
-        mean = jnp.mean(y32, axis=(-3, -2), keepdims=True)
-        var = jnp.var(y32, axis=(-3, -2), keepdims=True)
+        mean, var = norm_mean_var(y32, (-3, -2), stats)
         scale = jax.lax.rsqrt(var + eps).astype(y.dtype)
         return (y - mean.astype(y.dtype)) * scale
     if precision == "bf16":
-        return instance_norm(y, eps)
+        return instance_norm(y, eps, stats)
     raise ValueError(f"unknown in_precision: {precision}")
 
 
 def apply_adain(y: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
-                precision: str, eps: float = 1e-5) -> jnp.ndarray:
+                precision: str, eps: float = 1e-5,
+                stats: str = "two_pass") -> jnp.ndarray:
     """AdaIN at a chosen internal precision (see apply_instance_norm)."""
     if precision == "f32":
         return adain(y.astype(jnp.float32), gamma.astype(jnp.float32),
-                     beta.astype(jnp.float32), eps).astype(y.dtype)
-    out = apply_instance_norm(y, precision, eps)
+                     beta.astype(jnp.float32), eps, stats).astype(y.dtype)
+    out = apply_instance_norm(y, precision, eps, stats)
     return (out * gamma.astype(y.dtype)[:, None, None, :]
             + beta.astype(y.dtype)[:, None, None, :])
 
@@ -188,6 +218,8 @@ class MunitLayerNorm(nn.Module):
     # normalizes + applies affine in the compute dtype; "bf16" does
     # everything in the compute dtype. All three coincide at f32 input.
     precision: str = "f32"
+    # mean/var reduction scheme ("two_pass" | "one_pass", see norm_mean_var)
+    stats: str = "two_pass"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -197,8 +229,7 @@ class MunitLayerNorm(nn.Module):
         n = 1
         for a in axes:
             n *= x.shape[a]
-        mean = jnp.mean(xs, axis=axes, keepdims=True)
-        var_b = jnp.var(xs, axis=axes, keepdims=True)
+        mean, var_b = norm_mean_var(xs, axes, self.stats)
         std = jnp.sqrt(var_b * (n / (n - 1)))  # unbiased, like torch .std()
         gamma = beta = None
         if self.affine:
@@ -342,6 +373,9 @@ class Conv2dBlock(nn.Module):
     # internal precision of the in/adain norms ("f32"|"mixed"|"bf16") —
     # see apply_instance_norm; ignored (== f32) when dtype is float32
     in_precision: str = "f32"
+    # mean/var reduction scheme for the in/ln/adain stats ("two_pass" |
+    # "one_pass") — see norm_mean_var; "one_pass" halves stats HBM traffic
+    in_stats: str = "two_pass"
     # fold the reflect/replicate pad into the conv (ops/pad_conv.py):
     # zero-padded conv + exact border-strip splices, skipping the padded
     # HBM copy — measured 22% of the 7x7 final-stage time at 256px
@@ -449,6 +483,7 @@ class Conv2dBlock(nn.Module):
                 return conv2d_same_phase_fused(
                     xd, kd, bias, self.pad_type, norm=self.norm,
                     in_precision=self.in_precision,
+                    in_stats=self.in_stats,
                     act=make_activation(self.activation))
             y = conv2d_same(xd, kd, bias, self.pad_type,
                             engine="auto" if eng == "phase_fused" else eng)
@@ -487,10 +522,12 @@ class Conv2dBlock(nn.Module):
                 y = instance_norm_pallas(y)
             else:
                 y = apply_instance_norm(y.astype(self.dtype),
-                                        self.in_precision)
+                                        self.in_precision,
+                                        stats=self.in_stats)
         elif self.norm == "ln":
             y = MunitLayerNorm(num_features=self.out_dim, dtype=self.dtype,
-                               precision=self.in_precision)(y)
+                               precision=self.in_precision,
+                               stats=self.in_stats)(y)
         elif self.norm == "bn":
             # batch norm (unused by the shipped configs; MUNIT option kept)
             y = nn.BatchNorm(use_running_average=False, momentum=0.9,
@@ -505,7 +542,7 @@ class Conv2dBlock(nn.Module):
                                          beta.astype(jnp.float32))
             else:
                 y = apply_adain(y.astype(self.dtype), gamma, beta,
-                                self.in_precision)
+                                self.in_precision, stats=self.in_stats)
         elif self.norm in ("none", "sn"):
             pass
         else:
@@ -574,6 +611,7 @@ class ResBlock(nn.Module):
     use_pallas: bool = False
     use_pallas_norm: bool = False
     in_precision: str = "f32"
+    in_stats: str = "two_pass"
     quant: str = "none"
 
     @nn.compact
@@ -587,6 +625,7 @@ class ResBlock(nn.Module):
                         use_pallas=self.use_pallas,
                         use_pallas_norm=self.use_pallas_norm,
                         in_precision=self.in_precision,
+                        in_stats=self.in_stats,
                         quant=self.quant)(x, p0)
         y = Conv2dBlock(self.dim, 3, 1, 1, norm=self.norm,
                         activation="none", pad_type=self.pad_type,
@@ -594,6 +633,7 @@ class ResBlock(nn.Module):
                         use_pallas=self.use_pallas,
                         use_pallas_norm=self.use_pallas_norm,
                         in_precision=self.in_precision,
+                        in_stats=self.in_stats,
                         quant=self.quant)(y, p1)
         return x + y
 
@@ -611,6 +651,7 @@ class ResBlocks(nn.Module):
     use_pallas: bool = False
     use_pallas_norm: bool = False
     in_precision: str = "f32"
+    in_stats: str = "two_pass"
     quant: str = "none"
 
     @nn.compact
@@ -625,6 +666,7 @@ class ResBlocks(nn.Module):
                          use_pallas=self.use_pallas,
                          use_pallas_norm=self.use_pallas_norm,
                          in_precision=self.in_precision,
+                         in_stats=self.in_stats,
                          quant=self.quant)(x, p)
         return x
 

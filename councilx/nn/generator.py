@@ -54,6 +54,7 @@ class ContentEncoder(nn.Module):
     use_pallas: bool = False
     use_pallas_norm: bool = False
     in_precision: str = "f32"   # internal precision of the in/adain norms
+    in_stats: str = "two_pass"  # norm stats scheme (blocks.norm_mean_var)
     # W8A8 int8 serving quantization (ops/quant.py) for the HEAVY convs
     # only: the downsample convs and resblocks (all IN-normalized, where
     # per-channel quant scales cancel exactly). The first 7x7-from-RGB conv
@@ -86,7 +87,8 @@ class ContentEncoder(nn.Module):
                pad_type=self.pad_type, kernel_init=self.kernel_init,
                dtype=self.dtype, use_pallas=self.use_pallas,
                use_pallas_norm=self.use_pallas_norm,
-               in_precision=self.in_precision, fuse_pad=True,
+               in_precision=self.in_precision,
+               in_stats=self.in_stats, fuse_pad=True,
                boundary_engine=self.boundary_engine,
                name="Conv2dBlock_0")(x)
         for i in range(self.n_downsample):
@@ -96,6 +98,7 @@ class ContentEncoder(nn.Module):
                    use_pallas=self.use_pallas,
                    use_pallas_norm=self.use_pallas_norm,
                    in_precision=self.in_precision,
+               in_stats=self.in_stats,
                    quant=(self.quant if self.quant_scope == "heavy"
                           else "none"),
                    name=f"Conv2dBlock_{i + 1}")(x)
@@ -105,6 +108,7 @@ class ContentEncoder(nn.Module):
                dtype=self.dtype, use_pallas=self.use_pallas,
                use_pallas_norm=self.use_pallas_norm,
                in_precision=self.in_precision,
+               in_stats=self.in_stats,
                quant=self.quant,
                name="ResBlocks_0")(x)
         return x
@@ -168,6 +172,7 @@ class Decoder(nn.Module):
     use_pallas: bool = False
     use_pallas_norm: bool = False
     in_precision: str = "f32"   # internal precision of the adain norms
+    in_stats: str = "two_pass"  # norm stats scheme (blocks.norm_mean_var)
     # W8A8 int8 serving quantization for the heavy convs (adain resblocks +
     # upsample convs); the final 7x7-to-RGB/mask conv stays in the compute
     # dtype (quality-critical output edge, negligible FLOPs). See
@@ -216,6 +221,7 @@ class Decoder(nn.Module):
                dtype=self.dtype, use_pallas=self.use_pallas,
                use_pallas_norm=self.use_pallas_norm,
                in_precision=self.in_precision,
+               in_stats=self.in_stats,
                quant=self.quant,
                name="ResBlocks_0")(x, pairs)
         idx = 0
@@ -227,6 +233,8 @@ class Decoder(nn.Module):
                    fuse_upsample=self.fuse_upsample,
                    use_pallas=self.use_pallas,
                    use_pallas_norm=self.use_pallas_norm,
+                   in_precision=self.in_precision,
+                   in_stats=self.in_stats,
                    quant=(self.quant if self.quant_scope == "heavy"
                           else "none"),
                    name=f"Conv2dBlock_{idx}")(x)
@@ -268,6 +276,7 @@ class AdaINGen(nn.Module):
     use_pallas: bool = False    # per-object kernel choices (no process global)
     use_pallas_norm: bool = False
     in_precision: str = "f32"   # internal precision of the in/adain norms
+    in_stats: str = "two_pass"  # norm stats scheme (blocks.norm_mean_var)
     quant: str = "none"         # W8A8 serving quantization (ops/quant.py)
     # which conv classes quantize when quant != "none":
     #   "heavy"     — downsample convs + resblocks + upsample convs (the
@@ -301,6 +310,7 @@ class AdaINGen(nn.Module):
             use_pallas=self.use_pallas,
             use_pallas_norm=self.use_pallas_norm,
             in_precision=self.in_precision,
+               in_stats=self.in_stats,
             quant=self.quant, quant_scope=self.quant_scope,
             boundary_engine=self.boundary_engine,
             remat_stages=self.remat_stages)
@@ -317,6 +327,7 @@ class AdaINGen(nn.Module):
             use_pallas=self.use_pallas,
             use_pallas_norm=self.use_pallas_norm,
             in_precision=self.in_precision,
+               in_stats=self.in_stats,
             quant=self.quant, quant_scope=self.quant_scope,
             boundary_engine=self.boundary_engine,
             mask_activation=self.mask_activation,

@@ -22,7 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from councilx.nn.blocks import pad2d
+from councilx.nn.blocks import norm_mean_var, pad2d
 
 
 def conv2d_same_reference(x: jnp.ndarray, kernel: jnp.ndarray,
@@ -97,6 +97,7 @@ def conv2d_same_phase_fused(x: jnp.ndarray, kernel: jnp.ndarray,
                             pad_type: str = "reflect",
                             norm: str = "none",
                             in_precision: str = "mixed",
+                            in_stats: str = "two_pass",
                             act=None, precision=None,
                             eps: float = 1e-5) -> jnp.ndarray:
     """Phase-packed same conv with instance norm + activation applied in the
@@ -135,8 +136,7 @@ def conv2d_same_phase_fused(x: jnp.ndarray, kernel: jnp.ndarray,
         stats_f32 = in_precision in ("f32", "mixed") \
             and y5.dtype != jnp.float32
         ys = y5.astype(jnp.float32) if stats_f32 else y5
-        mean = jnp.mean(ys, axis=(1, 2, 3), keepdims=True)
-        var = jnp.var(ys, axis=(1, 2, 3), keepdims=True)
+        mean, var = norm_mean_var(ys, (1, 2, 3), in_stats)
         if in_precision == "f32" and stats_f32:
             y5 = ((ys - mean) * jax.lax.rsqrt(var + eps)).astype(y5.dtype)
         else:

@@ -113,6 +113,7 @@ class CouncilTrainer:
             fuse_upsample=cfg.fuse_upsample and not cfg.parity_mode,
             use_pallas=use_pallas, use_pallas_norm=use_pallas_norm,
             in_precision="f32" if cfg.parity_mode else cfg.in_precision,
+            in_stats="two_pass" if cfg.parity_mode else cfg.norm_stats,
             boundary_engine=("reference" if cfg.parity_mode
                              else cfg.boundary_engine),
             mask_activation=cfg.council.mask_activation,

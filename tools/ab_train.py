@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Interleaved A/B of FULL train-step config variants in ONE process.
+
+Sequential whole-process benchmarks drift ~2x run to run on this box
+(CLAUDE.md); chained-op microbenches disagree with composed reality
+(BASELINE.md round-4 notes). The only trustworthy comparison of two train
+configurations is alternating timed blocks of the complete fused step
+inside one process — this tool does exactly that, reusing bench.py's
+headline configuration so the variants differ by ONLY the listed fields.
+
+Env:
+  AB_VARIANTS  comma-separated "field=value" Config overrides, e.g.
+               "norm_stats=two_pass,norm_stats=one_pass" (required, >=2)
+  AB_ROUNDS    alternating rounds (3)
+  AB_STEPS     timed steps per block (10)
+  AB_WARMUP    warmup steps per variant before timing (3)
+  BENCH_*      all bench.py env overrides apply to the shared base config
+
+Prints one JSON line per variant plus a ratio line for two variants.
+Timing barriers are jax.device_get readbacks (block_until_ready is a no-op
+under the axon tunnel — CLAUDE.md).
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from councilx.utils.platform import apply_env_platform
+    apply_env_platform()
+
+    from bench import headline_config
+    from councilx.train.trainer import CouncilTrainer
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    council = int(os.environ.get("BENCH_COUNCIL", "4"))
+    rounds = int(os.environ.get("AB_ROUNDS", "3"))
+    steps = int(os.environ.get("AB_STEPS", "10"))
+    warmup = int(os.environ.get("AB_WARMUP", "3"))
+    specs = [s.strip() for s in os.environ["AB_VARIANTS"].split(",")]
+
+    base = headline_config(batch, council)
+    variants = []
+    for s in specs:
+        f, _, v = s.partition("=")
+        variants.append((s, dataclasses.replace(base, **{f: v})))
+
+    rng = np.random.RandomState(0)
+    x_a = jnp.asarray(rng.uniform(-1, 1, (batch, 256, 256, 3))
+                      .astype(np.float32))
+    x_b = jnp.asarray(rng.uniform(-1, 1, (batch, 256, 256, 3))
+                      .astype(np.float32))
+
+    runs = {}
+    for label, cfg in variants:
+        trainer = CouncilTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        for _ in range(warmup):   # compiles + steady-state warmup
+            state, metrics = trainer.train_step(state, x_a, x_b)
+        jax.device_get(metrics)
+        runs[label] = [trainer, state, 0.0]
+
+    for _ in range(rounds):
+        for label in runs:
+            trainer, state, acc = runs[label]
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, metrics = trainer.train_step(state, x_a, x_b)
+            jax.device_get(metrics)
+            runs[label] = [trainer, state, acc + time.perf_counter() - t0]
+
+    results = {}
+    for label, (_, _, acc) in runs.items():
+        ips = batch * steps * rounds / acc
+        results[label] = ips
+        print(json.dumps({
+            "metric": "train_ab_images_per_sec", "variant": label,
+            "batch": batch, "council": council,
+            "rounds": rounds, "steps_per_block": steps,
+            "images_per_sec": round(ips, 3)}))
+    if len(specs) == 2:
+        a, b = specs
+        print(json.dumps({
+            "metric": "train_ab_ratio", "a": a, "b": b,
+            "ratio_b_over_a": round(results[b] / results[a], 4)}))
+
+
+if __name__ == "__main__":
+    main()
