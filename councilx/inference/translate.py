@@ -73,6 +73,39 @@ class Translator:
                              else cfg.boundary_engine),
             mask_activation=cfg.council.mask_activation)
         self.mask_activation = cfg.council.mask_activation
+        if self.quant_stats is not None and self.gen.quant == "w8a8_static":
+            self._validate_quant_stats(cfg)
+
+    def _validate_quant_stats(self, cfg: Config) -> None:
+        """Fail fast, by name, when the calibration doesn't cover the scope.
+
+        Calibration stats and the serving quant_scope must agree: stats
+        recorded under quant_scope="resblocks" lack the downsample/upsample
+        conv entries that scope "heavy" consumes, and serving would
+        otherwise die later with a raw flax missing-variable error that
+        never mentions quant_scope. Extra entries (heavy-calibrated stats
+        served at resblocks scope) are fine — flax only looks up what the
+        scoped convs ask for."""
+        calib = self.gen.copy(quant="w8a8_calib")
+        hw = cfg.data.crop_image_height
+        expected = jax.eval_shape(
+            lambda: calib.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, hw, hw, 3), jnp.float32))
+        )["quant_stats"]
+
+        def paths(tree):
+            flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+            return {jax.tree_util.keystr(p) for p, _ in flat}
+
+        missing = paths(expected) - paths(self.quant_stats)
+        if missing:
+            raise ValueError(
+                f"quant_stats does not cover quant_scope="
+                f"'{self.gen.quant_scope}': missing "
+                f"{sorted(missing)[:4]}{'...' if len(missing) > 4 else ''} "
+                f"({len(missing)} entries). Recalibrate with "
+                "tools/calibrate_quant.py under the SAME config "
+                "(calibration scope must match serving scope).")
 
     def _vars(self, params) -> dict:
         """Variable collections for gen.apply (+ calibrated quant scales)."""

@@ -473,9 +473,15 @@ class Conv2dBlock(nn.Module):
             # tail's two extra full-res round-trips were ~75% of the first
             # conv stage's 50 ms; ops/pad_conv.py)
             starved = x.shape[-1] <= 16 or self.out_dim <= 16
+            # self.quant == "none" restates what the branch order already
+            # guarantees (the `elif quanted` branch runs first): the fused
+            # phase path has no int8 variant, so quantization must win if
+            # both are ever requested — keep the invariant in the gate so
+            # it survives branch reordering.
             fusable = (starved and self.kernel_size > 1
                        and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
                        and self.norm in ("in", "none")
+                       and self.quant == "none"
                        and not self.use_pallas_norm
                        and self.activation != "prelu")
             eng = self.boundary_engine

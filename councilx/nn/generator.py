@@ -60,8 +60,11 @@ class ContentEncoder(nn.Module):
     # per-channel quant scales cancel exactly). The first 7x7-from-RGB conv
     # stays in the compute dtype (tiny FLOPs, quality-critical input edge).
     quant: str = "none"
-    # which conv classes quantize when quant != "none" (see AdaINGen)
-    quant_scope: str = "heavy"
+    # which conv classes quantize when quant != "none" (see AdaINGen).
+    # Default matches AdaINGen/Config ("resblocks", the measured round-4
+    # winner) so code constructing this module directly agrees with the
+    # full generator; AdaINGen always passes it explicitly anyway.
+    quant_scope: str = "resblocks"
     # boundary-conv engine for the fuse_pad 7x7 (see Conv2dBlock)
     boundary_engine: str = "auto"
     # stage-granular rematerialization (see Decoder.remat_stages): at 256px
@@ -178,8 +181,11 @@ class Decoder(nn.Module):
     # dtype (quality-critical output edge, negligible FLOPs). See
     # ops/quant.py for the scheme and ContentEncoder.quant for the policy.
     quant: str = "none"
-    # which conv classes quantize when quant != "none" (see AdaINGen)
-    quant_scope: str = "heavy"
+    # which conv classes quantize when quant != "none" (see AdaINGen).
+    # Default matches AdaINGen/Config ("resblocks", the measured round-4
+    # winner) so code constructing this module directly agrees with the
+    # full generator; AdaINGen always passes it explicitly anyway.
+    quant_scope: str = "resblocks"
     # boundary-conv engine for the fuse_pad final 7x7 (see Conv2dBlock)
     boundary_engine: str = "auto"
     # mask-channel activation ([VERIFY] dual, see CouncilConfig): with

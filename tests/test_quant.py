@@ -249,6 +249,33 @@ class TestStaticQuant:
         with pytest.raises(ValueError, match="calibrated stats"):
             Translator(tiny_config(quant="w8a8_static"))
 
+    def test_scope_mismatch_names_quant_scope(self, calibrated):
+        """Stats calibrated at scope=resblocks lack the downsample/upsample
+        entries scope=heavy consumes — Translator must fail AT CONSTRUCTION
+        with an error naming quant_scope, not a raw flax missing-variable
+        error mid-serve (ADVICE r4)."""
+        from councilx.inference.translate import Translator
+
+        _, _, stats, _, _ = calibrated   # default scope: resblocks
+        with pytest.raises(ValueError, match="quant_scope"):
+            Translator(tiny_config(quant="w8a8_static",
+                                   quant_scope="heavy"),
+                       quant_stats=stats)
+
+    def test_heavy_stats_cover_resblocks_scope(self, calibrated):
+        """The reverse direction (heavy-calibrated stats served at
+        resblocks scope) is a superset and must construct fine."""
+        from councilx.inference.translate import Translator
+
+        cfg_h = tiny_config(quant="w8a8_static", quant_scope="heavy")
+        tr_probe = Translator(tiny_config(quant_scope="heavy"))
+        gen_c = tr_probe.gen.copy(quant="w8a8_calib")
+        dummy = np.zeros((1, 32, 32, 3), np.float32)
+        heavy_stats = gen_c.init(jax.random.PRNGKey(0),
+                                 dummy)["quant_stats"]
+        Translator(tiny_config(quant="w8a8_static"),
+                   quant_stats=heavy_stats)   # no raise
+
     def test_calib_mode_rejected_by_translator(self):
         from councilx.inference.translate import Translator
 

@@ -61,28 +61,33 @@ def main():
     x_b = jnp.asarray(rng.uniform(-1, 1, (batch, 256, 256, 3))
                       .astype(np.float32))
 
+    # keyed by variant INDEX, not spec string: duplicate specs (an A/A
+    # noise-floor run) must time two independent trainers, not collapse
+    # into one dict slot
     runs = {}
-    for label, cfg in variants:
+    for idx, (label, cfg) in enumerate(variants):
         trainer = CouncilTrainer(cfg)
         state = trainer.init_state(jax.random.PRNGKey(0))
         for _ in range(warmup):   # compiles + steady-state warmup
             state, metrics = trainer.train_step(state, x_a, x_b)
-        jax.device_get(metrics)
-        runs[label] = [trainer, state, 0.0]
+        if warmup:
+            jax.device_get(metrics)
+        runs[idx] = [trainer, state, 0.0]
 
     for _ in range(rounds):
-        for label in runs:
-            trainer, state, acc = runs[label]
+        for idx in runs:
+            trainer, state, acc = runs[idx]
             t0 = time.perf_counter()
             for _ in range(steps):
                 state, metrics = trainer.train_step(state, x_a, x_b)
             jax.device_get(metrics)
-            runs[label] = [trainer, state, acc + time.perf_counter() - t0]
+            runs[idx] = [trainer, state, acc + time.perf_counter() - t0]
 
-    results = {}
-    for label, (_, _, acc) in runs.items():
+    results = []
+    for idx, (label, _) in enumerate(variants):
+        acc = runs[idx][2]
         ips = batch * steps * rounds / acc
-        results[label] = ips
+        results.append(ips)
         print(json.dumps({
             "metric": "train_ab_images_per_sec", "variant": label,
             "batch": batch, "council": council,
@@ -92,7 +97,7 @@ def main():
         a, b = specs
         print(json.dumps({
             "metric": "train_ab_ratio", "a": a, "b": b,
-            "ratio_b_over_a": round(results[b] / results[a], 4)}))
+            "ratio_b_over_a": round(results[1] / results[0], 4)}))
 
 
 if __name__ == "__main__":
