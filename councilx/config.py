@@ -268,17 +268,19 @@ class Config:
     in_precision: str = "mixed"
     # mean/var reduction scheme for every in/adain/ln norm
     # (nn.blocks.norm_mean_var):
-    #   "two_pass" — jnp.mean then jnp.var; the var reduce depends on the
-    #                mean, so stats READ THE TENSOR TWICE (torch-parity
-    #                rounding class; the default)
     #   "one_pass" — E[x] and E[x^2] as sibling reductions XLA multi-output-
     #                fuses into ONE read; var = max(E[x^2]-mean^2, 0) differs
     #                by float cancellation (~|mean|^2/var * 1e-7 relative at
-    #                f32 stats), not just summation order — config-gated for
-    #                that reason and forced to "two_pass" in parity_mode.
+    #                f32 stats), not just summation order.
+    #   "two_pass" — jnp.mean then jnp.var; the var reduce depends on the
+    #                mean, so stats READ THE TENSOR TWICE (torch-parity
+    #                rounding class; forced in parity_mode)
     # The generator normalizes 19 tensors per forward; stats passes are pure
-    # HBM bandwidth, so one_pass removes ~1/3 of all norm traffic.
-    norm_stats: str = "two_pass"
+    # HBM bandwidth. Measured interleaved A/B at the headline config
+    # (tools/ab_train.py, round 5): one_pass 16.05 vs two_pass 14.45
+    # img/s/chip — +11% on the whole fused train step, so it is the
+    # default; toy_e2e quality revalidated under it (BASELINE.md).
+    norm_stats: str = "one_pass"
     # W8A8 int8 quantization of the generator's heavy convs on the SERVING
     # path only (ops/quant.py; tools/bench_int8.py for the MXU numbers):
     #   "none"        — bf16 convs (default)
@@ -301,6 +303,13 @@ class Config:
     # ("auto" | "phase_fused" | "phase" | "strips" | "reference");
     # A/B surface for nn/blocks.py::Conv2dBlock — auto is the measured best.
     boundary_engine: str = "auto"
+    # interior engine of the decoder's fused upsample+conv stages
+    # ("dilated" | "phase" | "ln_fused" — nn/blocks.py::Conv2dBlock,
+    # ops/upsample_conv.py). "ln_fused" runs the phase conv and folds the
+    # MUNIT LayerNorm stats/affine/activation into the half-res phase
+    # layout (exact up to summation order; d2s is the only full-res pass).
+    # A/B surface; "dilated" is the measured default.
+    upsample_engine: str = "dilated"
     # parity mode: fp32 everywhere + highest conv/matmul precision, for
     # pixel-exact comparison against the reference inference path.
     parity_mode: bool = False
@@ -453,6 +462,9 @@ class Config:
                                         "strips", "reference"):
             raise ValueError(
                 f"unsupported boundary_engine: {self.boundary_engine}")
+        if self.upsample_engine not in ("dilated", "phase", "ln_fused"):
+            raise ValueError(
+                f"unsupported upsample_engine: {self.upsample_engine}")
         if not (self.eval_member == "all"
                 or (isinstance(self.eval_member, int)
                     and 0 <= self.eval_member < self.council.council_size)):

@@ -71,6 +71,7 @@ class Translator:
             quant_scope=cfg.quant_scope,
             boundary_engine=("reference" if cfg.parity_mode
                              else cfg.boundary_engine),
+            upsample_engine=cfg.upsample_engine,
             mask_activation=cfg.council.mask_activation)
         self.mask_activation = cfg.council.mask_activation
         if self.quant_stats is not None and self.gen.quant == "w8a8_static":

@@ -338,6 +338,24 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """Declares MunitLayerNorm's affine params with identical names, shapes
+    and initializers — name this module "MunitLayerNorm_0" so the fused
+    upsample+LN path (ops/upsample_conv.py::upsample2x_conv5x5_ln_fused)
+    produces the IDENTICAL parameter pytree to the separate-LN path
+    (checkpoints interchangeable; same trick as _ConvParams)."""
+
+    num_features: int
+
+    @nn.compact
+    def __call__(self):
+        gamma = self.param("gamma", nn.initializers.uniform(scale=1.0),
+                           (self.num_features,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros,
+                          (self.num_features,), jnp.float32)
+        return gamma, beta
+
+
 class Conv2dBlock(nn.Module):
     """pad -> conv -> norm -> activation (reference networks.py::Conv2dBlock).
 
@@ -389,6 +407,13 @@ class Conv2dBlock(nn.Module):
     # these (chained microbenches of the same engines disagree by 2x —
     # tools/bench_stage1.py vs the stage profile).
     boundary_engine: str = "auto"
+    # interior engine of the fused upsample+conv (ops/upsample_conv.py):
+    # "dilated" (default, one lhs_dilation=2 conv) | "phase" (3x3 conv with
+    # 4x channels + d2s) | "ln_fused" (phase conv with the MUNIT LayerNorm
+    # stats/affine/activation folded into the half-res phase layout, d2s
+    # last — requires norm='ln', unquantized, non-pallas; falls back to
+    # dilated otherwise). A/B surface; composed numbers only.
+    upsample_engine: str = "dilated"
     # W8A8 int8 quantization of the conv (serving-only lever; ops/quant.py).
     # "none" | "w8a8" (dynamic per-image scales) | "w8a8_calib" (dynamic +
     # record running activation absmax into the "quant_stats" collection —
@@ -424,11 +449,26 @@ class Conv2dBlock(nn.Module):
         # reference: use_bias = True except under 'bn' (MUNIT passes bias
         # always; nn.Conv2d default bias=True)
         if fused:
-            from councilx.ops.upsample_conv import upsample2x_conv5x5
+            from councilx.ops.upsample_conv import (
+                upsample2x_conv5x5, upsample2x_conv5x5_ln_fused)
 
             kernel, bias = _ConvParams(
                 features=self.out_dim, kernel_size=(5, 5),
                 kernel_init=self.kernel_init, name="Conv_0")(x.shape[-1])
+            ln_fusable = (self.upsample_engine == "ln_fused"
+                          and self.norm == "ln" and not quanted
+                          and not self.use_pallas
+                          and not self.use_pallas_norm
+                          and self.activation != "prelu")
+            if ln_fusable:
+                gamma, beta = _LNParams(num_features=self.out_dim,
+                                        name="MunitLayerNorm_0")()
+                return upsample2x_conv5x5_ln_fused(
+                    x.astype(self.dtype), kernel.astype(self.dtype), bias,
+                    self.pad_type, gamma, beta,
+                    ln_precision=self.in_precision,
+                    ln_stats=self.in_stats,
+                    act=make_activation(self.activation))
             # pad2d only replicates/reflects values, so max|pad(x)| ==
             # max|x|: the block-input scale is exact for the padded conv
             a_scale = self._quant_a_scale(x) if quanted else None
@@ -436,7 +476,11 @@ class Conv2dBlock(nn.Module):
                                    kernel.astype(self.dtype),
                                    bias, self.pad_type,
                                    use_pallas=self.use_pallas,
-                                   quant=quanted, a_scale=a_scale)
+                                   quant=quanted, a_scale=a_scale,
+                                   engine=("dilated"
+                                           if self.upsample_engine
+                                           == "ln_fused"
+                                           else self.upsample_engine))
         elif self.norm == "sn":
             x = pad2d(x, self.padding, self.pad_type)
             y = SpectralConv(

@@ -188,6 +188,9 @@ class Decoder(nn.Module):
     quant_scope: str = "resblocks"
     # boundary-conv engine for the fuse_pad final 7x7 (see Conv2dBlock)
     boundary_engine: str = "auto"
+    # interior engine of the fused upsample+conv stages ("dilated" |
+    # "phase" | "ln_fused" — see Conv2dBlock.upsample_engine)
+    upsample_engine: str = "dilated"
     # mask-channel activation ([VERIFY] dual, see CouncilConfig): with
     # "sigmoid" the final conv emits raw pre-activations; tanh is applied to
     # the RGB channels only, the mask channel stays a logit for the caller's
@@ -243,6 +246,7 @@ class Decoder(nn.Module):
                    in_stats=self.in_stats,
                    quant=(self.quant if self.quant_scope == "heavy"
                           else "none"),
+                   upsample_engine=self.upsample_engine,
                    name=f"Conv2dBlock_{idx}")(x)
             dim //= 2
             idx += 1
@@ -297,6 +301,8 @@ class AdaINGen(nn.Module):
     quant_scope: str = "resblocks"
     # boundary-conv engine for the fuse_pad 7x7s (A/B surface; Conv2dBlock)
     boundary_engine: str = "auto"
+    # fused-upsample interior engine (A/B surface; Conv2dBlock)
+    upsample_engine: str = "dilated"
     mask_activation: str = "tanh_affine"  # see Decoder.mask_activation
     remat_stages: bool = False  # see Decoder.remat_stages
 
@@ -336,6 +342,7 @@ class AdaINGen(nn.Module):
                in_stats=self.in_stats,
             quant=self.quant, quant_scope=self.quant_scope,
             boundary_engine=self.boundary_engine,
+            upsample_engine=self.upsample_engine,
             mask_activation=self.mask_activation,
             remat_stages=self.remat_stages)
         self.mlp = MLP(

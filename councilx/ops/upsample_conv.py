@@ -185,3 +185,125 @@ def upsample2x_conv5x5(x: jnp.ndarray, kernel: jnp.ndarray,
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
+
+
+def _strip_to_phase_row(t: jnp.ndarray) -> jnp.ndarray:
+    """Full-res 2-row strip (B, 2, 2W, C) -> ONE phase-layout row
+    (B, 1, W, 4C) with (a, b)-major channels: full-res (r=2i+a, c=2j+b)
+    lives at phase [i, j, (2a+b)*C + o], and a 2-row full-res strip is
+    exactly one phase row across all four parities."""
+    b_, _, wf, c = t.shape
+    t = t.reshape(b_, 2, wf // 2, 2, c)          # (B, a, j, b, C)
+    t = t.transpose(0, 2, 1, 3, 4)               # (B, j, a, b, C)
+    return t.reshape(b_, 1, wf // 2, 4 * c)
+
+
+def _strip_to_phase_col(t: jnp.ndarray) -> jnp.ndarray:
+    """Full-res 2-col strip (B, 2H, 2, C) -> ONE phase-layout column
+    (B, H, 1, 4C) (see _strip_to_phase_row)."""
+    b_, hf, _, c = t.shape
+    t = t.reshape(b_, hf // 2, 2, 2, c)          # (B, i, a, b, C)
+    return t.reshape(b_, hf // 2, 1, 4 * c)
+
+
+def _ln_affine_act(y: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
+                   eps: float, ln_precision: str, ln_stats: str, act,
+                   tiled: bool) -> jnp.ndarray:
+    """MUNIT LayerNorm + per-channel affine + activation on ``y``, whose
+    channel axis is either the plain C (tiled=False) or the (a, b)-major
+    phase layout 4C (tiled=True; affine params repeat 4x). Precision/stats
+    semantics mirror nn.blocks.MunitLayerNorm line for line."""
+    from councilx.nn.blocks import norm_mean_var
+
+    g = jnp.tile(gamma, 4) if tiled else gamma
+    b = jnp.tile(beta, 4) if tiled else beta
+    orig_dtype = y.dtype
+    ys = y if ln_precision == "bf16" else y.astype(jnp.float32)
+    axes = tuple(range(1, y.ndim))
+    n = 1
+    for a in axes:
+        n *= y.shape[a]
+    mean, var_b = norm_mean_var(ys, axes, ln_stats)
+    std = jnp.sqrt(var_b * (n / (n - 1)))    # unbiased, like torch .std()
+    if ln_precision == "f32":
+        out = (y.astype(jnp.float32) - mean) / (std + eps)
+        out = (out * g + b).astype(orig_dtype)
+    else:
+        inv = (1.0 / (std + eps)).astype(orig_dtype)
+        out = (y - mean.astype(orig_dtype)) * inv
+        out = out * g.astype(orig_dtype) + b.astype(orig_dtype)
+    return act(out) if act is not None else out
+
+
+def upsample2x_conv5x5_ln_fused(x: jnp.ndarray, kernel: jnp.ndarray,
+                                bias: Optional[jnp.ndarray],
+                                pad_type: str,
+                                gamma: jnp.ndarray, beta: jnp.ndarray,
+                                eps: float = 1e-5,
+                                ln_precision: str = "mixed",
+                                ln_stats: str = "two_pass",
+                                act=None,
+                                precision=None) -> jnp.ndarray:
+    """Upsample+conv with MUNIT LayerNorm + affine + activation applied in
+    the half-res PHASE layout; depth-to-space runs last.
+
+    The decoder's upsample stages are ``upsample2x -> 5x5 conv -> MUNIT
+    LayerNorm -> relu`` (reference networks.py::Decoder, norm='ln'). With
+    the dilated/phase interior engines the LN still costs a full-resolution
+    stats read plus a full-resolution normalize round-trip AFTER the conv
+    (round-4 serving stage table: dec_up2 carries ~12 ms of LN stats at
+    256px batch 384 — BASELINE.md). MUNIT LN normalizes per-sample over ALL
+    of (H, W, C), and the phase layout (B, H/2, W/2, 4C) holds exactly the
+    same element set, so pooling the stats there is exact up to float
+    summation order — the same equal-size-groups argument as
+    ops/pad_conv.py::conv2d_same_phase_fused. The per-channel affine maps to
+    the (a, b)-major phase channels as ``tile(gamma, 4)``, and elementwise
+    activations commute with depth-to-space, so the entire
+    conv -> LN -> affine -> act pipeline runs at half resolution with d2s as
+    the only full-res pass.
+
+    Exactness at the borders: the 2-pixel full-res output border (where the
+    interior engine's pad handling differs from the reference) is exactly
+    ONE phase-layout row/column per side, so the reference-path strips are
+    spliced into the phase tensor BEFORE the statistics — the LN sees
+    bit-identical inputs to the unfused path, reordered.
+
+    ``ln_precision``/``ln_stats`` mirror nn.blocks.MunitLayerNorm's
+    precision/stats semantics exactly ("f32" | "mixed" | "bf16";
+    "two_pass" | "one_pass"). Unbiased std with n = the per-sample element
+    count, matching torch ``Tensor.std()``.
+    """
+    b_, h, w, _ = x.shape
+    cout = kernel.shape[-1]
+    if h < 4 or w < 4:
+        y = upsample2x_conv5x5_reference(x, kernel, bias, pad_type,
+                                         precision)
+        # tiny-input fallback: full-res LN (identical formula)
+        return _ln_affine_act(y, gamma, beta, eps, ln_precision, ln_stats,
+                              act, tiled=False)
+
+    xp = pad2d(x, 1, "replicate")
+    k4 = _phase_kernels(kernel, precision).astype(x.dtype)
+    y4 = jax.lax.conv_general_dilated(
+        xp, k4, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+
+    # exact border strips (reference path on thin slices), spliced in the
+    # phase layout BEFORE the LN statistics — same splice order as
+    # upsample2x_conv5x5 (left/right own the corners)
+    def ref(sl):
+        return upsample2x_conv5x5_reference(sl, kernel, None, pad_type,
+                                            precision)
+
+    y4 = y4.at[:, :1].set(_strip_to_phase_row(ref(x[:, :4])[:, :2]))
+    y4 = y4.at[:, -1:].set(_strip_to_phase_row(ref(x[:, -4:])[:, -2:]))
+    y4 = y4.at[:, :, :1].set(_strip_to_phase_col(ref(x[:, :, :4])[:, :, :2]))
+    y4 = y4.at[:, :, -1:].set(
+        _strip_to_phase_col(ref(x[:, :, -4:])[:, :, -2:]))
+    if bias is not None:
+        y4 = y4 + jnp.tile(bias, 4).astype(y4.dtype)
+
+    y4 = _ln_affine_act(y4, gamma, beta, eps, ln_precision, ln_stats, act,
+                        tiled=True)
+    y = y4.reshape(b_, h, w, 2, 2, cout)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b_, 2 * h, 2 * w, cout)

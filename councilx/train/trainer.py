@@ -116,6 +116,7 @@ class CouncilTrainer:
             in_stats="two_pass" if cfg.parity_mode else cfg.norm_stats,
             boundary_engine=("reference" if cfg.parity_mode
                              else cfg.boundary_engine),
+            upsample_engine=cfg.upsample_engine,
             mask_activation=cfg.council.mask_activation,
             remat_stages=cfg.remat_stages)
         self.mask_activation = cfg.council.mask_activation

@@ -142,6 +142,10 @@ def test_folder_cli_end_to_end(tmp_path):
     for i in range(3):
         Image.fromarray(rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
                         ).save(in_dir / f"x{i}.png")
+    # odd-sized image (VERDICT r4 item 7): the loader resize/crop must
+    # normalize it; the CLI must not trip the even-H,W boundary engines
+    Image.fromarray(rng.randint(0, 256, (41, 37, 3), dtype=np.uint8)
+                    ).save(in_dir / "x3_odd.png")
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(
@@ -152,7 +156,7 @@ def test_folder_cli_end_to_end(tmp_path):
         capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
     assert r.returncode == 0, r.stderr[-3000:]
     outs = sorted(os.listdir(out_dir))
-    assert len(outs) == 6  # 3 images x 2 members
+    assert len(outs) == 8  # 4 images (one odd-sized) x 2 members
     assert all(f.endswith(".jpg") for f in outs)
 
 

@@ -104,9 +104,11 @@ def test_one_pass_gradients_finite_and_close():
 
 
 def test_config_norm_stats_validation():
-    cfg = Config.from_dict({"norm_stats": "one_pass"})
-    assert cfg.norm_stats == "one_pass"
-    assert Config.from_dict({}).norm_stats == "two_pass"
+    cfg = Config.from_dict({"norm_stats": "two_pass"})
+    assert cfg.norm_stats == "two_pass"
+    # one_pass is the default since the round-5 A/B (+11% on the fused
+    # train step — BASELINE.md norm_stats section)
+    assert Config.from_dict({}).norm_stats == "one_pass"
     with pytest.raises(ValueError):
         Config.from_dict({"norm_stats": "welford"})
 
