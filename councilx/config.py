@@ -310,6 +310,14 @@ class Config:
     # layout (exact up to summation order; d2s is the only full-res pass).
     # A/B surface; "dilated" is the measured default.
     upsample_engine: str = "dilated"
+    # fold the reflect pad into the generator's 16 resblock 3x3 convs
+    # (ops/pad_conv.py strips engine: zero-padded conv + exact border
+    # splices — removes the padded HBM copy each conv otherwise
+    # materializes). The resblock groups are 56% of the serving step at
+    # ~66% of bf16 peak (round-4 stage table); this is the cheap exact
+    # lever before custom-kernel territory. A/B surface; exact up to
+    # summation order, forced off in parity_mode.
+    resblock_fuse_pad: bool = False
     # parity mode: fp32 everywhere + highest conv/matmul precision, for
     # pixel-exact comparison against the reference inference path.
     parity_mode: bool = False

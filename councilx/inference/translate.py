@@ -72,6 +72,8 @@ class Translator:
             boundary_engine=("reference" if cfg.parity_mode
                              else cfg.boundary_engine),
             upsample_engine=cfg.upsample_engine,
+            resblock_fuse_pad=(cfg.resblock_fuse_pad
+                               and not cfg.parity_mode),
             mask_activation=cfg.council.mask_activation)
         self.mask_activation = cfg.council.mask_activation
         if self.quant_stats is not None and self.gen.quant == "w8a8_static":

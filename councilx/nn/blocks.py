@@ -663,6 +663,11 @@ class ResBlock(nn.Module):
     in_precision: str = "f32"
     in_stats: str = "two_pass"
     quant: str = "none"
+    # fold the reflect pad into the 3x3 convs (ops/pad_conv.py strips
+    # engine: zero-padded conv + exact border splices — no padded HBM
+    # copy). A/B surface (Config.resblock_fuse_pad); exact up to
+    # summation order, so off in parity mode.
+    fuse_pad: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -676,6 +681,7 @@ class ResBlock(nn.Module):
                         use_pallas_norm=self.use_pallas_norm,
                         in_precision=self.in_precision,
                         in_stats=self.in_stats,
+                        fuse_pad=self.fuse_pad,
                         quant=self.quant)(x, p0)
         y = Conv2dBlock(self.dim, 3, 1, 1, norm=self.norm,
                         activation="none", pad_type=self.pad_type,
@@ -684,6 +690,7 @@ class ResBlock(nn.Module):
                         use_pallas_norm=self.use_pallas_norm,
                         in_precision=self.in_precision,
                         in_stats=self.in_stats,
+                        fuse_pad=self.fuse_pad,
                         quant=self.quant)(y, p1)
         return x + y
 
@@ -703,6 +710,7 @@ class ResBlocks(nn.Module):
     in_precision: str = "f32"
     in_stats: str = "two_pass"
     quant: str = "none"
+    fuse_pad: bool = False   # see ResBlock.fuse_pad
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -717,6 +725,7 @@ class ResBlocks(nn.Module):
                          use_pallas_norm=self.use_pallas_norm,
                          in_precision=self.in_precision,
                          in_stats=self.in_stats,
+                         fuse_pad=self.fuse_pad,
                          quant=self.quant)(x, p)
         return x
 

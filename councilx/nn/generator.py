@@ -67,6 +67,9 @@ class ContentEncoder(nn.Module):
     quant_scope: str = "resblocks"
     # boundary-conv engine for the fuse_pad 7x7 (see Conv2dBlock)
     boundary_engine: str = "auto"
+    # fold the reflect pad into the resblock 3x3 convs (strips engine,
+    # ops/pad_conv.py) — see Config.resblock_fuse_pad
+    resblock_fuse_pad: bool = False
     # stage-granular rematerialization (see Decoder.remat_stages): at 256px
     # batch>8 the encoder's (B,64,64,256) resblock internals are the other
     # half of the memory peak; per-stage checkpointing bounds the backward
@@ -108,7 +111,8 @@ class ContentEncoder(nn.Module):
             dim *= 2
         x = RB(self.n_res, dim, norm="in", activation=self.activ,
                pad_type=self.pad_type, kernel_init=self.kernel_init,
-               dtype=self.dtype, use_pallas=self.use_pallas,
+               dtype=self.dtype, fuse_pad=self.resblock_fuse_pad,
+               use_pallas=self.use_pallas,
                use_pallas_norm=self.use_pallas_norm,
                in_precision=self.in_precision,
                in_stats=self.in_stats,
@@ -191,6 +195,8 @@ class Decoder(nn.Module):
     # interior engine of the fused upsample+conv stages ("dilated" |
     # "phase" | "ln_fused" — see Conv2dBlock.upsample_engine)
     upsample_engine: str = "dilated"
+    # fold the reflect pad into the resblock 3x3 convs (strips engine)
+    resblock_fuse_pad: bool = False
     # mask-channel activation ([VERIFY] dual, see CouncilConfig): with
     # "sigmoid" the final conv emits raw pre-activations; tanh is applied to
     # the RGB channels only, the mask channel stays a logit for the caller's
@@ -227,7 +233,8 @@ class Decoder(nn.Module):
         CB = nn.remat(Conv2dBlock) if self.remat_stages else Conv2dBlock
         x = RB(self.n_res, dim, norm="adain", activation=self.activ,
                pad_type=self.pad_type, kernel_init=self.kernel_init,
-               dtype=self.dtype, use_pallas=self.use_pallas,
+               dtype=self.dtype, fuse_pad=self.resblock_fuse_pad,
+               use_pallas=self.use_pallas,
                use_pallas_norm=self.use_pallas_norm,
                in_precision=self.in_precision,
                in_stats=self.in_stats,
@@ -303,6 +310,8 @@ class AdaINGen(nn.Module):
     boundary_engine: str = "auto"
     # fused-upsample interior engine (A/B surface; Conv2dBlock)
     upsample_engine: str = "dilated"
+    # strips-engine pad folding on the resblock 3x3 convs (A/B surface)
+    resblock_fuse_pad: bool = False
     mask_activation: str = "tanh_affine"  # see Decoder.mask_activation
     remat_stages: bool = False  # see Decoder.remat_stages
 
@@ -325,6 +334,7 @@ class AdaINGen(nn.Module):
                in_stats=self.in_stats,
             quant=self.quant, quant_scope=self.quant_scope,
             boundary_engine=self.boundary_engine,
+            resblock_fuse_pad=self.resblock_fuse_pad,
             remat_stages=self.remat_stages)
         self.enc_style = StyleEncoder(
             dim=self.dim, style_dim=self.style_dim,
@@ -343,6 +353,7 @@ class AdaINGen(nn.Module):
             quant=self.quant, quant_scope=self.quant_scope,
             boundary_engine=self.boundary_engine,
             upsample_engine=self.upsample_engine,
+            resblock_fuse_pad=self.resblock_fuse_pad,
             mask_activation=self.mask_activation,
             remat_stages=self.remat_stages)
         self.mlp = MLP(

@@ -117,6 +117,8 @@ class CouncilTrainer:
             boundary_engine=("reference" if cfg.parity_mode
                              else cfg.boundary_engine),
             upsample_engine=cfg.upsample_engine,
+            resblock_fuse_pad=(cfg.resblock_fuse_pad
+                               and not cfg.parity_mode),
             mask_activation=cfg.council.mask_activation,
             remat_stages=cfg.remat_stages)
         self.mask_activation = cfg.council.mask_activation

@@ -170,6 +170,52 @@ class TestLnFusedUpsample:
             tiny_config(upsample_engine="bogus")
 
 
+class TestResblockFusePad:
+    """Config.resblock_fuse_pad routes the 16 resblock 3x3 convs through
+    the strips engine (no padded HBM copy) — exact up to summation order,
+    identical param tree (the strips path reuses nn.Conv-compatible
+    _ConvParams)."""
+
+    def test_generator_parity_and_param_tree(self):
+        from councilx.nn.generator import AdaINGen
+
+        r = np.random.default_rng(8)
+        x = _rand(r, 1, 16, 16, 3)
+        common = dict(input_dim=3, dim=8, style_dim=3, n_downsample=2,
+                      n_res=2, mlp_dim=16, focus_mask=True)
+        g_off = AdaINGen(resblock_fuse_pad=False, **common)
+        g_on = AdaINGen(resblock_fuse_pad=True, **common)
+        v_off = g_off.init(jax.random.PRNGKey(0), x)
+        v_on = g_on.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(v_off)
+                == jax.tree_util.tree_structure(v_on))
+        y_off = g_off.apply(v_off, x)
+        y_on = g_on.apply(v_off, x)
+        np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                                   atol=5e-5, rtol=1e-3)
+
+    def test_gradients_match(self):
+        from councilx.nn.blocks import ResBlock
+
+        r = np.random.default_rng(9)
+        x = _rand(r, 1, 8, 8, 8)
+        rb_off = ResBlock(dim=8, norm="in", pad_type="reflect",
+                          fuse_pad=False)
+        rb_on = ResBlock(dim=8, norm="in", pad_type="reflect",
+                         fuse_pad=True)
+        v = rb_off.init(jax.random.PRNGKey(0), x)
+
+        def loss(blk, v, x):
+            return jnp.sum(jnp.sin(blk.apply(v, x)))
+
+        g_off = jax.grad(loss, argnums=(1, 2))(rb_off, v, x)
+        g_on = jax.grad(loss, argnums=(1, 2))(rb_on, v, x)
+        for a, b in zip(jax.tree_util.tree_leaves(g_off),
+                        jax.tree_util.tree_leaves(g_on)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-3)
+
+
 class TestOddShapeBoundary:
     """VERDICT r4 item 7: the phase/phase_fused boundary engines require
     even H, W and must FALL BACK (silently but exactly) on odd inputs —

@@ -53,6 +53,8 @@ def main():
     variants = []
     for s in specs:
         f, _, v = s.partition("=")
+        if v.lower() in ("true", "false"):   # bool fields: "False" is a
+            v = v.lower() == "true"          # truthy STRING otherwise
         variants.append((s, dataclasses.replace(base, **{f: v})))
 
     rng = np.random.RandomState(0)

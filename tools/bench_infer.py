@@ -106,7 +106,11 @@ def run_one(batch, size, steps, cfg, bf16_params):
     def parse_variant(s):
         # "field=value" or a bare quant value ("none"/"w8a8_static"/...)
         f, _, v = s.strip().partition("=")
-        return (f, v) if v else ("quant", f)
+        if not v:
+            return ("quant", f)
+        if v.lower() in ("true", "false"):   # bool fields: "False" is a
+            v = v.lower() == "true"          # truthy STRING otherwise
+        return (f, v)
 
     variants = ([parse_variant(v) for v in ab.split(",")] if ab
                 else [("quant", cfg.quant)])
