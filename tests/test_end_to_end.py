@@ -121,8 +121,12 @@ def test_translator_matches_trainer_sample(trained_run):
                                      state.params["a2b"]["gen"])
     x_t, _, _ = trainer._translate_members(
         jax.tree_util.tree_map(lambda l: l, params0), x, z[None])
+    # Translator and trainer compile as different executables; with the
+    # round-5 norm_stats=one_pass default (E[x2]-E[x]2 cancellation, see
+    # config.py) the cross-executable noise measures up to ~2e-6 — atol
+    # covers it with margin while still catching any semantic divergence.
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(x_t[0]),
-                               atol=1e-6)
+                               atol=1e-5)
     assert mask.shape == (2, 32, 32, 1)
 
 

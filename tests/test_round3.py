@@ -301,7 +301,9 @@ class TestGenMemberChunks:
             assert a.shape == b.shape
             # different chunk counts compile to different XLA fusions;
             # measured reassociation noise is <1e-5 abs on O(0.1) grads
-            np.testing.assert_allclose(a, b, rtol=5e-3, atol=3e-5)
+            # under two_pass stats and up to ~5e-5 under the round-5
+            # norm_stats=one_pass default (E[x2]-E[x]2 cancellation)
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4)
 
     def test_chunked_step_trains(self, rng):
         cfg = tiny_config(gen_member_chunks=2)
