@@ -14,6 +14,14 @@ Env:
   AB_ROUNDS    alternating rounds (3)
   AB_STEPS     timed steps per block (10)
   AB_WARMUP    warmup steps per variant before timing (3)
+  AB_OFFLOAD   park inactive variants' train states on the HOST between
+               blocks (default: on when >2 variants — three full headline
+               states don't fit 16 GB HBM together, measured
+               RESOURCE_EXHAUSTED; off for 2 variants, where both states
+               stay resident and behavior matches every recorded A/B).
+               Uploads/readbacks and one re-warm step per block run
+               OUTSIDE the timed window, so timings stay honest — at the
+               cost of extra untimed tunnel transfer per block.
   BENCH_*      all bench.py env overrides apply to the shared base config
 
 Prints one JSON line per variant plus a ratio line for two variants.
@@ -63,6 +71,9 @@ def main():
     x_b = jnp.asarray(rng.uniform(-1, 1, (batch, 256, 256, 3))
                       .astype(np.float32))
 
+    offload = bool(int(os.environ.get(
+        "AB_OFFLOAD", "1" if len(variants) > 2 else "0")))
+
     # keyed by variant INDEX, not spec string: duplicate specs (an A/A
     # noise-floor run) must time two independent trainers, not collapse
     # into one dict slot
@@ -74,16 +85,27 @@ def main():
             state, metrics = trainer.train_step(state, x_a, x_b)
         if warmup:
             jax.device_get(metrics)
+        if offload:               # park on host so the next variant's
+            state = jax.device_get(state)   # warmup has the whole HBM
         runs[idx] = [trainer, state, 0.0]
 
     for _ in range(rounds):
         for idx in runs:
             trainer, state, acc = runs[idx]
+            if offload:
+                # re-upload + ONE untimed step: its device_get barrier
+                # guarantees the H2D transfer and re-warm finish before t0
+                state = jax.device_put(state)
+                state, metrics = trainer.train_step(state, x_a, x_b)
+                jax.device_get(metrics)
             t0 = time.perf_counter()
             for _ in range(steps):
                 state, metrics = trainer.train_step(state, x_a, x_b)
             jax.device_get(metrics)
-            runs[idx] = [trainer, state, acc + time.perf_counter() - t0]
+            acc += time.perf_counter() - t0
+            if offload:           # untimed: park again for the next variant
+                state = jax.device_get(state)
+            runs[idx] = [trainer, state, acc]
 
     results = []
     for idx, (label, _) in enumerate(variants):
