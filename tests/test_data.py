@@ -133,7 +133,11 @@ def test_head_rows_fixed_and_threadless():
     before = threading.active_count()
     h5, h5r = plain.head_rows(5), resumed.head_rows(5)
     h4, hall = plain.head_rows(4), plain.head_rows(999)
-    assert threading.active_count() == before  # no producer threads spawned
+    # no producer threads SPAWNED — <=, not ==: threads left over from
+    # earlier tests in the same process (loader prefetch, server fixtures)
+    # may legitimately EXIT while head_rows runs, dropping the count
+    # (observed flake: before=4, after=1)
+    assert threading.active_count() <= before
     np.testing.assert_array_equal(h5, h5r)
     assert hall.shape[0] == 10  # one-epoch cap
     # head_rows is a strict prefix of the threaded stream
